@@ -1,0 +1,189 @@
+"""Tokenize / shingle / MinHash / SimHash — one vectorized Arrow pass.
+
+Parity targets (tested bit-exact vs a live reference import):
+- tokenize   — reference app/hash_detector.py:42-50
+- shingles   — reference app/hash_detector.py:52-79 (incl. the <3-word
+               whole-text single-shingle fallback at :68-72)
+- minhash    — reference app/hash_detector.py:81-103: for each permutation i,
+               min((a_i * s + b_i) mod p) over the shingle set,
+               p = 4294967311. The reference stores float64; every value is
+               < p < 2^33 and therefore exact in float64, so we compute and
+               store int64 — numerically identical.
+- coefficients are NEVER derived on executors; they come from the frozen
+  fixture (dedup/coeffs.py) and ride along via closure capture, which Spark
+  serializes once per task set (equivalent to an explicit broadcast for
+  arrays this small: 2 * num_hashes * 8 bytes).
+
+Engine extras (no reference counterpart; north-star spec):
+- SimHash 64-bit fingerprint over the shingle strings (blake2b-64 per
+  shingle, sign-summed), Hamming distance via native bit_count(a ^ b).
+- optional k-char shingling mode.
+
+Scale notes: the heavy math is numpy inside mapInPandas (Arrow batches,
+no per-row Python UDF). The signatures table keeps the shingle array for
+exact-Jaccard verification, but downstream stages project it away before
+any shuffle — LSH banding and pair shuffles carry only (url, band hashes);
+verification joins shingles back by key (SURVEY §4 "spill-aware").
+"""
+
+from __future__ import annotations
+
+import hashlib
+import zlib
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+
+from dedup.config import MINHASH_PRIME, DedupConfig
+from dedup.coeffs import load_coeffs
+
+_P = np.uint64(MINHASH_PRIME)
+
+SIGNATURE_SCHEMA = (
+    "url string, minhash array<bigint>, simhash bigint, "
+    "shingles array<bigint>, n_tokens int"
+)
+
+
+# --- pure per-document functions (shared with the single-node oracle) --------
+
+def tokenize(text: str | None) -> list[str]:
+    """Lowercase whitespace tokens, length > 1 (parity: hash_detector.py:42-50)."""
+    if not text:
+        return []
+    return [w for w in text.lower().split() if len(w) > 1]
+
+
+def shingle_hashes(words: list[str], shingle_size: int = 3) -> set[int]:
+    """CRC32 hashes of word n-grams; texts with < shingle_size words collapse
+    to one whole-text shingle (parity: hash_detector.py:52-79)."""
+    if not words:
+        return set()
+    if len(words) < shingle_size:
+        return {zlib.crc32(" ".join(words).encode()) & 0xFFFFFFFF}
+    return {
+        zlib.crc32(" ".join(words[i:i + shingle_size]).encode()) & 0xFFFFFFFF
+        for i in range(len(words) - shingle_size + 1)
+    }
+
+
+def char_shingle_hashes(words: list[str], k: int) -> set[int]:
+    """Engine mode: CRC32 of k-char sliding windows over the space-joined
+    token stream (shorter texts collapse to one whole-text shingle)."""
+    if not words:
+        return set()
+    s = " ".join(words)
+    if len(s) <= k:
+        return {zlib.crc32(s.encode()) & 0xFFFFFFFF}
+    enc = s.encode()
+    # windows over bytes of the encoded string; ascii-safe for synth corpora,
+    # deterministic for any input
+    return {
+        zlib.crc32(enc[i:i + k]) & 0xFFFFFFFF for i in range(len(enc) - k + 1)
+    }
+
+
+def minhash_signature(shingles: np.ndarray, A: np.ndarray, B: np.ndarray) -> np.ndarray:
+    """Vectorized MinHash: ((A ⊗ S + B) mod p).min(axis=shingles).
+
+    uint64 arithmetic is exact here: max(a)*max(s) + max(b)
+    = (2^32-1)^2 + (2^32-1) < 2^64, so no wraparound — results match the
+    reference's arbitrary-precision Python ints bit-for-bit.
+    Returns int64 values in [0, p).
+    """
+    s = shingles.astype(np.uint64, copy=False)
+    h = (A[:, None] * s[None, :] + B[:, None]) % _P
+    return h.min(axis=1).astype(np.int64)
+
+
+def simhash64(shingle_strings: list[str]) -> int:
+    """64-bit SimHash over shingle strings: blake2b-64 per shingle,
+    bit-wise sign sum, msb-first. Returned as signed int64 (Spark BIGINT)."""
+    if not shingle_strings:
+        return 0
+    digests = np.frombuffer(
+        b"".join(hashlib.blake2b(s.encode(), digest_size=8).digest()
+                 for s in shingle_strings),
+        dtype=np.uint8,
+    ).reshape(-1, 8)
+    bits = np.unpackbits(digests, axis=1).astype(np.int32)  # (n, 64) in {0,1}
+    votes = (2 * bits - 1).sum(axis=0)                      # (64,) sign sums
+    out = np.uint64(0)
+    for v in votes:
+        out = np.uint64(out << np.uint64(1)) | np.uint64(1 if v > 0 else 0)
+    return int(out.astype(np.int64))
+
+
+def doc_shingle_strings(words: list[str], cfg: DedupConfig) -> list[str]:
+    """The shingle *strings* for SimHash (word n-grams or char k-grams)."""
+    if not words:
+        return []
+    if cfg.char_shingles:
+        s = " ".join(words)
+        k = cfg.char_shingle_size
+        if len(s) <= k:
+            return [s]
+        return [s[i:i + k] for i in range(len(s) - k + 1)]
+    if len(words) < cfg.shingle_size:
+        return [" ".join(words)]
+    return [" ".join(words[i:i + cfg.shingle_size])
+            for i in range(len(words) - cfg.shingle_size + 1)]
+
+
+def compute_text_signature(text: str | None, A: np.ndarray, B: np.ndarray,
+                           cfg: DedupConfig) -> np.ndarray | None:
+    """tokenize -> shingle -> minhash; None for empty/blank text
+    (parity: hash_detector.py:105-123)."""
+    words = tokenize(text)
+    if not words:
+        return None
+    sh = (char_shingle_hashes(words, cfg.char_shingle_size) if cfg.char_shingles
+          else shingle_hashes(words, cfg.shingle_size))
+    if not sh:
+        return None
+    return minhash_signature(np.fromiter(sh, dtype=np.uint64, count=len(sh)), A, B)
+
+
+# --- Spark stage ---------------------------------------------------------------
+
+def signatures_table(corpus, cfg: DedupConfig, text_col: str = "text",
+                     key_col: str = "url"):
+    """corpus -> signatures(url, minhash, simhash, shingles, n_tokens).
+
+    Rows whose text yields no signature (empty/blank) are emitted with null
+    minhash so callers can count/inspect them; filter `minhash IS NOT NULL`
+    before banding.
+    """
+    A, B = load_coeffs(cfg.num_hashes, cfg.seed)
+
+    def compute(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            urls, sigs, simhashes, shingles_out, ntoks = [], [], [], [], []
+            for url, text in zip(pdf[key_col], pdf[text_col]):
+                words = tokenize(text)
+                urls.append(url)
+                ntoks.append(len(words))
+                if not words:
+                    sigs.append(None)
+                    simhashes.append(None)
+                    shingles_out.append(None)
+                    continue
+                if cfg.char_shingles:
+                    sh = char_shingle_hashes(words, cfg.char_shingle_size)
+                else:
+                    sh = shingle_hashes(words, cfg.shingle_size)
+                arr = np.fromiter(sh, dtype=np.uint64, count=len(sh))
+                sigs.append(minhash_signature(arr, A, B))
+                simhashes.append(simhash64(doc_shingle_strings(words, cfg)))
+                shingles_out.append(np.sort(arr).astype(np.int64))
+            yield pd.DataFrame({
+                "url": urls,
+                "minhash": sigs,
+                "simhash": pd.array(simhashes, dtype="Int64"),
+                "shingles": shingles_out,
+                "n_tokens": pd.array(ntoks, dtype="int32"),
+            })
+
+    cols = [key_col, text_col] if key_col != text_col else [key_col]
+    return corpus.select(*cols).mapInPandas(compute, schema=SIGNATURE_SCHEMA)

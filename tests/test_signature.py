@@ -1,0 +1,80 @@
+"""Signature-stage parity through Spark: the mapInPandas signatures table
+must equal the reference's per-document signatures bit-for-bit (SURVEY §5.1-2),
+plus SimHash sanity (engine extra)."""
+
+from __future__ import annotations
+
+import numpy as np
+
+from dedup.config import PARITY_CONFIG, DedupConfig
+from dedup.signature import signatures_table, simhash64, doc_shingle_strings, tokenize
+from dedup.synth import corpus_pdf
+
+
+class TestSignatureStage:
+    def test_stage_matches_reference(self, spark, detector):
+        pdf = corpus_pdf(120, seed=3)
+        df = spark.createDataFrame(pdf[["url", "text"]])
+        rows = signatures_table(df, PARITY_CONFIG).collect()
+        assert len(rows) == len(pdf)
+        by_url = {r["url"]: r for r in rows}
+        for _, doc in pdf.iterrows():
+            ref_sig = detector.compute_text_signature(doc["text"])
+            got = by_url[doc["url"]]
+            if ref_sig is None:
+                assert got["minhash"] is None
+            else:
+                np.testing.assert_array_equal(
+                    np.array(got["minhash"], dtype=np.float64), ref_sig)
+
+    def test_shingles_column_matches_reference_set(self, spark, detector):
+        pdf = corpus_pdf(60, seed=5)
+        df = spark.createDataFrame(pdf[["url", "text"]])
+        rows = signatures_table(df, PARITY_CONFIG).collect()
+        by_url = {r["url"]: r for r in rows}
+        for _, doc in pdf.iterrows():
+            words = detector._tokenize(doc["text"])
+            expect = detector._create_shingles(words, 3)
+            got = by_url[doc["url"]]["shingles"]
+            if not words:
+                assert got is None
+            else:
+                assert set(got) == expect
+                assert got == sorted(got)  # deterministic output order
+
+    def test_n_tokens(self, spark, detector):
+        pdf = corpus_pdf(40, seed=9)
+        df = spark.createDataFrame(pdf[["url", "text"]])
+        rows = signatures_table(df, PARITY_CONFIG).collect()
+        by_url = {r["url"]: r["n_tokens"] for r in rows}
+        for _, doc in pdf.iterrows():
+            assert by_url[doc["url"]] == len(detector._tokenize(doc["text"]))
+
+
+class TestSimHash:
+    def test_deterministic_and_locality(self):
+        cfg = PARITY_CONFIG
+        t1 = "the quick brown fox jumps over the lazy dog " * 20
+        t2 = t1.replace("lazy", "sleepy", 3)
+        t3 = "completely different content about mathematics " * 20
+        s1 = simhash64(doc_shingle_strings(tokenize(t1), cfg))
+        s1b = simhash64(doc_shingle_strings(tokenize(t1), cfg))
+        s2 = simhash64(doc_shingle_strings(tokenize(t2), cfg))
+        s3 = simhash64(doc_shingle_strings(tokenize(t3), cfg))
+        assert s1 == s1b
+
+        def ham(a, b):
+            return bin((a ^ b) & 0xFFFFFFFFFFFFFFFF).count("1")
+
+        assert ham(s1, s2) < ham(s1, s3)
+
+    def test_empty(self):
+        assert simhash64([]) == 0
+
+    def test_char_shingle_mode(self):
+        cfg = DedupConfig(num_hashes=128, char_shingles=True,
+                          lsh_bands=32, lsh_rows=4)
+        strs = doc_shingle_strings(tokenize("hello world again"), cfg)
+        assert all(len(s) == cfg.char_shingle_size for s in strs)
+        short = doc_shingle_strings(tokenize("hi yo"), cfg)
+        assert short == ["hi yo"]
