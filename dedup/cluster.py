@@ -1,0 +1,106 @@
+"""Connected-components clustering — alternating large-star/small-star.
+
+The reference never clusters (it answers per-document queries); the
+north-star spec requires corpus-wide connected components over the verified
+duplicate edges. GraphFrames is not available, so this is the pure-DataFrame
+alternating large-star/small-star algorithm (Kiveris et al., "Connected
+Components in MapReduce and Beyond", SoCC'14): converges in O(log n) rounds,
+every round is two shuffles, and lineage is truncated with localCheckpoint
+each round so plans don't grow unboundedly.
+
+Vertex ids are the document keys (strings); min() over the natural string
+ordering picks each component's canonical representative. At 10^12 docs one
+would first dense-encode urls to int64 (zipWithIndex-style) to shrink
+shuffle width — the algorithm is id-type agnostic.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def _large_star(edges: DataFrame) -> DataFrame:
+    """For each node u: connect every strictly-larger neighbor to
+    min(N(u) ∪ {u})."""
+    sym = edges.unionByName(
+        edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    mins = sym.groupBy("u").agg(F.min("v").alias("m"))
+    mins = mins.select("u", F.least("m", "u").alias("m"))
+    return (
+        sym.where(F.col("v") > F.col("u"))
+        .join(mins, "u")
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        .distinct()
+    )
+
+
+def _small_star(edges: DataFrame) -> DataFrame:
+    """Orient edges toward smaller ids; for each node u connect all its
+    smaller neighbors (and u itself) to the minimum one."""
+    directed = edges.select(
+        F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+    ).where(F.col("u") != F.col("v")).distinct()
+    mins = directed.groupBy("u").agg(F.min("v").alias("m"))
+    reattach = (
+        directed.join(mins, "u")
+        .where(F.col("v") != F.col("m"))
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+    )
+    keep = mins.select(F.col("u"), F.col("m").alias("v"))
+    return reattach.unionByName(keep).distinct()
+
+
+def _checksum(edges: DataFrame) -> tuple[int, int]:
+    # decimal(38,0) accumulator: sum of int64 hashes overflows long under
+    # ANSI mode (Spark 4 default)
+    row = edges.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.coalesce(F.sum(F.xxhash64("u", "v").cast("decimal(38,0)")),
+                   F.lit(0).cast("decimal(38,0)")).alias("h"),
+    ).first()
+    return int(row["n"]), int(row["h"])
+
+
+def connected_components(edges: DataFrame, max_iterations: int = 30) -> DataFrame:
+    """edges(a, b) -> assignments(url, cluster_id).
+
+    cluster_id is the component's minimum vertex id. Only vertices that
+    appear in an edge are returned; callers union singleton docs back with
+    cluster_id = their own key (see `assign_clusters`).
+    """
+    e = (edges.select(F.col("a").alias("u"), F.col("b").alias("v"))
+         .where(F.col("u") != F.col("v")).distinct())
+    if e.isEmpty():
+        spark = edges.sparkSession
+        return spark.createDataFrame([], "url string, cluster_id string")
+
+    e = e.localCheckpoint(eager=True)
+    prev = _checksum(e)
+    for _ in range(max_iterations):
+        e = _small_star(_large_star(e)).localCheckpoint(eager=True)
+        cur = _checksum(e)
+        if cur == prev:
+            break
+        prev = cur
+    else:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iterations} rounds")
+
+    # converged state: every edge points child -> component root
+    children = e.select(F.col("u").alias("url"), F.col("v").alias("cluster_id"))
+    roots = e.select(F.col("v").alias("url"),
+                     F.col("v").alias("cluster_id")).distinct()
+    return children.unionByName(roots).distinct()
+
+
+def assign_clusters(corpus_keys: DataFrame, edges: DataFrame,
+                    max_iterations: int = 30) -> DataFrame:
+    """All documents -> (url, cluster_id); documents with no duplicate edge
+    form singleton clusters keyed by their own url."""
+    comp = connected_components(edges, max_iterations)
+    singletons = (
+        corpus_keys.select("url")
+        .join(comp.select("url"), "url", "left_anti")
+        .select("url", F.col("url").alias("cluster_id"))
+    )
+    return comp.unionByName(singletons)

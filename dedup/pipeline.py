@@ -1,0 +1,162 @@
+"""Corpus-wide dedup pipeline with per-stage checkpoints, lineage + metrics.
+
+The batch DAG (SURVEY §3.4), replacing the reference's per-request
+orchestration (app/main.py:413-496):
+
+    corpus -> extract -> signatures -> candidate pairs (LSH ∪ url_exact)
+           -> verify -> edges -> connected components -> clusters
+
+Every stage materializes to parquet under `workdir/<stage>/` keyed by the
+config's content-addressed job key (md5 of canonical-JSON config — the same
+construction as the reference's detection-cache key, app/main.py:207-225).
+A stage whose manifest matches the current job key is SKIPPED on resume and
+its table is read back — resume-from-failure therefore costs only the stages
+after the last completed checkpoint. Lineage lives in
+`workdir/_lineage/<stage>.json`; per-partition row counts and wall times go
+to the `metrics` table (`workdir/metrics/`).
+
+Scale notes: stage boundaries are exactly the expensive shuffles (banding
+groupBy, pair join, label-prop iterations), so checkpoints double as shuffle
+barriers; AQE re-plans each stage with real sizes. At cluster scale the same
+code runs via spark-submit --py-files (jobs/dedupe_corpus.py) with workdir on
+shared storage; this sandbox uses local paths.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+from dataclasses import dataclass
+from pathlib import Path
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from dedup.cluster import assign_clusters
+from dedup.config import DedupConfig
+from dedup.extract import extract_text_udf
+from dedup.lsh import candidate_pairs
+from dedup.signature import signatures_table
+from dedup.verify import verify_pairs
+
+STAGES = ("extracted", "signatures", "pairs", "verified", "clusters")
+
+
+@dataclass
+class StageInfo:
+    name: str
+    skipped: bool
+    rows: int
+    wall_ms: float
+
+
+class DedupPipeline:
+    def __init__(self, spark: SparkSession, workdir: str, cfg: DedupConfig,
+                 resume: bool = True):
+        self.spark = spark
+        self.workdir = workdir.rstrip("/")
+        self.cfg = cfg
+        self.resume = resume
+        self.job_key = cfg.job_key()
+        self.stage_infos: list[StageInfo] = []
+        Path(self.workdir, "_lineage").mkdir(parents=True, exist_ok=True)
+
+    # --- lineage ----------------------------------------------------------
+    def _manifest_path(self, stage: str) -> Path:
+        return Path(self.workdir, "_lineage", f"{stage}.json")
+
+    def _stage_done(self, stage: str) -> bool:
+        mp = self._manifest_path(stage)
+        if not mp.exists():
+            return False
+        try:
+            man = json.loads(mp.read_text())
+        except json.JSONDecodeError:
+            return False
+        success = Path(self.workdir, stage, "_SUCCESS")
+        return (man.get("job_key") == self.job_key
+                and man.get("status") == "complete"
+                and success.exists())
+
+    def _write_manifest(self, stage: str, rows: int, wall_ms: float,
+                        n_partitions: int) -> None:
+        self._manifest_path(stage).write_text(json.dumps({
+            "job_key": self.job_key,
+            "stage": stage,
+            "status": "complete",
+            "rows": rows,
+            "wall_ms": wall_ms,
+            "n_partitions": n_partitions,
+            "finished_at": time.time(),
+        }, indent=2))
+
+    def _record_metrics(self, stage: str, df: DataFrame,
+                        wall_ms: float) -> tuple[int, int]:
+        """Per-partition lineage rows -> metrics table; returns (rows, parts)."""
+        per_part = (
+            df.groupBy(F.spark_partition_id().alias("partition_id"))
+            .agg(F.count(F.lit(1)).alias("rows"))
+            .withColumn("stage", F.lit(stage))
+            .withColumn("job_key", F.lit(self.job_key))
+            .withColumn("wall_ms", F.lit(float(wall_ms)))
+        )
+        per_part.write.mode("append").parquet(f"{self.workdir}/metrics")
+        agg = per_part.agg(F.sum("rows"), F.count(F.lit(1))).first()
+        return int(agg[0] or 0), int(agg[1] or 0)
+
+    def _run_stage(self, stage: str, build) -> DataFrame:
+        out = f"{self.workdir}/{stage}"
+        if self.resume and self._stage_done(stage):
+            df = self.spark.read.parquet(out)
+            self.stage_infos.append(StageInfo(stage, True, -1, 0.0))
+            return df
+        t0 = time.monotonic()
+        build().write.mode("overwrite").parquet(out)
+        wall_ms = (time.monotonic() - t0) * 1000
+        df = self.spark.read.parquet(out)
+        rows, parts = self._record_metrics(stage, df, wall_ms)
+        self._write_manifest(stage, rows, wall_ms, parts)
+        self.stage_infos.append(StageInfo(stage, False, rows, wall_ms))
+        return df
+
+    # --- stages -------------------------------------------------------------
+    def run(self, corpus: DataFrame) -> dict[str, DataFrame]:
+        """corpus(url, warc_ts, html[, text, lang]) -> table dict."""
+        extracted = self._run_stage(
+            "extracted",
+            lambda: corpus.select(
+                "url", extract_text_udf(F.col("html")).alias("text")),
+        )
+        signatures = self._run_stage(
+            "signatures", lambda: signatures_table(extracted, self.cfg))
+        pairs = self._run_stage(
+            "pairs",
+            lambda: candidate_pairs(
+                extracted, signatures, self.cfg,
+                use_simhash_prefilter=(self.cfg.scoring == "jaccard")),
+        )
+        verified = self._run_stage(
+            "verified", lambda: verify_pairs(pairs, signatures, self.cfg))
+        clusters = self._run_stage(
+            "clusters",
+            lambda: assign_clusters(
+                extracted.select("url"),
+                verified.where("keep").select("a", "b")),
+        )
+        return {
+            "extracted": extracted,
+            "signatures": signatures,
+            "pairs": pairs,
+            "verified": verified,
+            "clusters": clusters,
+            "metrics": self.spark.read.parquet(f"{self.workdir}/metrics"),
+        }
+
+
+def dedupe_corpus(spark: SparkSession, corpus: DataFrame | str, workdir: str,
+                  cfg: DedupConfig | None = None,
+                  resume: bool = True) -> dict[str, DataFrame]:
+    """One-call entry: path or DataFrame in, table dict out."""
+    if isinstance(corpus, str):
+        corpus = spark.read.parquet(corpus)
+    cfg = cfg or DedupConfig()
+    return DedupPipeline(spark, workdir, cfg, resume=resume).run(corpus)

@@ -1,0 +1,80 @@
+"""Connected-components correctness vs a pure-Python union-find oracle."""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+
+from dedup.cluster import assign_clusters, connected_components
+
+
+def union_find(edges, vertices=()):
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    for v in vertices:
+        find(v)
+    return {v: find(v) for v in parent}
+
+
+def _check(spark, edges, vertices=()):
+    oracle = union_find(edges, vertices)
+    df = spark.createDataFrame(edges, "a string, b string")
+    got = {r["url"]: r["cluster_id"]
+           for r in connected_components(df).collect()}
+    # same partition into components, with min-id representatives
+    expect = {v: r for v, r in oracle.items()}
+    assert got == expect
+
+
+class TestConnectedComponents:
+    def test_single_edge(self, spark):
+        _check(spark, [("b", "a")])
+
+    def test_chain(self, spark):
+        _check(spark, [(f"v{i:03d}", f"v{i + 1:03d}") for i in range(40)])
+
+    def test_two_components_and_clique(self, spark):
+        edges = [("a", "b"), ("b", "c"), ("x", "y")]
+        edges += [(f"k{i}", f"k{j}") for i in range(6) for j in range(i + 1, 6)]
+        _check(spark, edges)
+
+    def test_random_graphs(self, spark):
+        rng = random.Random(42)
+        for trial in range(3):
+            n = 150
+            verts = [f"n{i:04d}" for i in range(n)]
+            edges = [tuple(rng.sample(verts, 2)) for _ in range(120)]
+            _check(spark, edges)
+
+    def test_empty(self, spark):
+        df = spark.createDataFrame([], "a string, b string")
+        assert connected_components(df).count() == 0
+
+    def test_self_loops_ignored(self, spark):
+        df = spark.createDataFrame([("a", "a"), ("a", "b")],
+                                   "a string, b string")
+        got = {r["url"]: r["cluster_id"]
+               for r in connected_components(df).collect()}
+        assert got == {"a": "a", "b": "a"}
+
+
+class TestAssignClusters:
+    def test_singletons_included(self, spark):
+        corpus = spark.createDataFrame(
+            [("u1",), ("u2",), ("u3",), ("u4",)], "url string")
+        edges = spark.createDataFrame([("u1", "u3")], "a string, b string")
+        got = {r["url"]: r["cluster_id"]
+               for r in assign_clusters(corpus, edges).collect()}
+        assert got == {"u1": "u1", "u3": "u1", "u2": "u2", "u4": "u4"}
