@@ -1,0 +1,216 @@
+"""Per-query detection kernel — DataFrame reimplementation of the
+reference's `find_duplicates` (app/hash_detector.py:167-318, operator T9).
+
+Given one source document's metadata and a DataFrame of candidate nodes
+(the reference's remote-search results, modeled as rows with the raw
+edu-sharing property map), produce the same duplicates list and per-field
+max-similarity stats. This is the `dedupe_one` query mode (SURVEY §3.4):
+the source row is a broadcast scalar; candidates are the distributed side.
+
+Decomposition (SURVEY §2.1 T9a-T9h):
+  T9a  source text assembly from valid fields         (:189-207)
+  T9b  candidate field extraction w/ key precedence   (:223-247)
+  T9c  URL-exact short-circuit, threshold bypass      (:249-266, :295-297)
+  T9d  candidate signature + cosine scoring           (:268-284)
+  T9e  per-field max similarity (pre-dedup, 4 dp)     (:286-288, :307-309)
+  T9f  first-occurrence dedup across fields           (:211-214, :290-293)
+  T9g  threshold filter                               (:295-305)
+  T9h  stable desc sort                               (:311-312)
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window, functions as F
+from pyspark.sql.types import DoubleType
+
+from dedup.coeffs import load_coeffs
+from dedup.config import DedupConfig
+from dedup.normalize import is_valid_field, normalize_url
+from dedup.signature import compute_text_signature
+from dedup.verify import cosine_similarity
+
+# candidate DataFrame contract: one row per (search_field, candidate) in
+# request order. field_priority = index of the field in the request's
+# search_fields list; candidate_seq = position within that field's result
+# list. Together they encode the Python dict/list insertion order the
+# reference's seen-id dedup depends on (T9f).
+CANDIDATE_COLUMNS = ("search_field", "field_priority", "candidate_seq",
+                     "node_id", "properties")
+
+# key precedence for candidate field extraction (hash_detector.py:229-247)
+_TITLE_KEYS = ("cclom:title", "cm:name")
+_DESC_KEYS = ("cclom:general_description",)
+_URL_KEYS = ("ccm:wwwurl", "cclom:location")
+
+
+@dataclass
+class SourceMetadata:
+    title: str | None = None
+    description: str | None = None
+    url: str | None = None
+    redirect_url: str | None = None
+
+
+def _precedence_extract(props_col, keys: tuple[str, ...]):
+    """First-present-KEY extraction: a present key with a null/empty value
+    STOPS the chain (the reference `break`s on key presence, not on value
+    validity — hash_detector.py:229-232). F.get returns NULL out-of-bounds
+    (ANSI-safe, unlike element_at)."""
+    expr = F.lit(None).cast("string")
+    for key in reversed(keys):
+        expr = F.when(F.map_contains_key(props_col, F.lit(key)),
+                      F.get(props_col.getItem(key), 0)).otherwise(expr)
+    return expr
+
+
+def find_duplicates(source: SourceMetadata, candidates: DataFrame,
+                    cfg: DedupConfig | None = None,
+                    threshold: float | None = None,
+                    ) -> tuple[DataFrame, DataFrame]:
+    """-> (duplicates, field_max) DataFrames.
+
+    duplicates: node_id, title, description, url, similarity_score,
+                match_source — sorted by similarity desc (ties broken by
+                arrival order: the reference's sort is stable, T9h).
+    field_max:  search_field, max_similarity (rounded 4 dp; one row per
+                field that had candidates, T9e).
+    """
+    cfg = cfg or DedupConfig()
+    # reference quirk, replicated deliberately: `threshold or default`
+    # (app/hash_detector.py:187) treats 0.0 as "unset" and silently uses the
+    # default 0.9 — so does this kernel.
+    threshold = threshold or cfg.threshold
+    spark = candidates.sparkSession
+
+    # --- T9a: source text from valid fields only (driver-side scalars)
+    has_title = is_valid_field(source.title)
+    has_description = is_valid_field(source.description)
+    parts = []
+    if has_title:
+        parts.append(source.title)
+    if has_description:
+        parts.append(source.description)
+    A, B = load_coeffs(cfg.num_hashes, cfg.seed)
+    source_sig = compute_text_signature(" ".join(parts), A, B, cfg)
+    if source_sig is None:
+        empty_dups = spark.createDataFrame(
+            [], "node_id string, title string, description string, "
+                "url string, similarity_score double, match_source string")
+        empty_max = spark.createDataFrame(
+            [], "search_field string, max_similarity double")
+        return empty_dups, empty_max
+
+    src_norm_url = normalize_url(source.url)
+    src_norm_redirect = (normalize_url(source.redirect_url)
+                         if source.redirect_url else None)
+    src_sig_f64 = source_sig.astype(np.float64)
+
+    # --- T9b: candidate field extraction with key precedence
+    c = (candidates
+         .where(F.col("node_id").isNotNull() & (F.col("node_id") != ""))
+         .withColumn("title", _precedence_extract(F.col("properties"), _TITLE_KEYS))
+         .withColumn("description", _precedence_extract(F.col("properties"), _DESC_KEYS))
+         .withColumn("url", _precedence_extract(F.col("properties"), _URL_KEYS)))
+
+    # --- T9c: URL-exact match (vs source url AND redirect_url)
+    @F.pandas_udf("boolean")
+    def url_match_udf(urls: pd.Series) -> pd.Series:
+        def match(u):
+            n = normalize_url(u)
+            if not n:
+                return False
+            return bool((src_norm_url and n == src_norm_url)
+                        or (src_norm_redirect and n == src_norm_redirect))
+        return urls.map(match)
+
+    # --- T9d: candidate text from the SAME field subset as the source,
+    # then cosine vs the broadcast source signature. A candidate field
+    # contributes only if source has it AND the candidate value is truthy
+    # (reference `if has_title and title:` — hash_detector.py:271-274).
+    @F.pandas_udf(DoubleType())
+    def score_udf(titles: pd.Series, descriptions: pd.Series) -> pd.Series:
+        out = []
+        for t, d in zip(titles, descriptions):
+            parts = []
+            if has_title and t:
+                parts.append(t)
+            if has_description and d:
+                parts.append(d)
+            sig = compute_text_signature(" ".join(parts), A, B, cfg)
+            if sig is None:
+                out.append(None)  # reference skips this candidate (:280-281)
+            else:
+                out.append(cosine_similarity(src_sig_f64,
+                                             sig.astype(np.float64)))
+        return pd.Series(out, dtype="float64")
+
+    scored = (
+        c.withColumn("url_match", url_match_udf(F.col("url")))
+        .withColumn(
+            "similarity",
+            F.when(F.col("url_match"), F.lit(1.0))
+            .otherwise(score_udf(F.col("title"), F.col("description"))))
+        .withColumn(
+            "match_source",
+            F.when(F.col("url_match"), F.lit("url_exact"))
+            .otherwise(F.col("search_field")))
+    )
+
+    # --- T9e: per-field max BEFORE dedup; sig-None rows excluded; fields
+    # that returned candidates but produced no score report 0.0
+    field_max = (
+        candidates.groupBy("search_field", "field_priority")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .join(
+            scored.groupBy("search_field")
+            .agg(F.max("similarity").alias("_max")),
+            "search_field", "left")
+        .select(
+            "search_field",
+            F.round(F.coalesce(F.col("_max"), F.lit(0.0)), 4)
+            .alias("max_similarity"),
+            "field_priority")
+        .orderBy("field_priority")
+        .drop("field_priority")
+    )
+
+    # --- T9f/T9g/T9h: first-occurrence dedup, threshold, stable sort
+    w = Window.partitionBy("node_id").orderBy("field_priority", "candidate_seq")
+    duplicates = (
+        scored.where(F.col("similarity").isNotNull())
+        .withColumn("_rank", F.row_number().over(w))
+        .where(F.col("_rank") == 1)
+        .where(F.col("url_match") | (F.col("similarity") >= F.lit(threshold)))
+        .select(
+            "node_id", "title", "description", "url",
+            F.round(F.col("similarity"), 4).alias("similarity_score"),
+            "match_source", "field_priority", "candidate_seq")
+        .orderBy(F.desc("similarity_score"), F.asc("field_priority"),
+                 F.asc("candidate_seq"))
+        .drop("field_priority", "candidate_seq")
+    )
+    return duplicates, field_max
+
+
+def candidates_df_from_pools(spark, pools: dict[str, list[dict]]) -> DataFrame:
+    """Build the candidate DataFrame from the reference's candidate-pool
+    shape (Dict[search_field, List[node-dict]], app/wlo_client.py:243) —
+    used by parity tests and the compat API."""
+    rows = []
+    for prio, (field, nodes) in enumerate(pools.items()):
+        for seq, node in enumerate(nodes):
+            ref = node.get("ref") or {}
+            props_in = node.get("properties") or {}
+            props = {
+                k: [str(x) for x in v] if isinstance(v, list) else [str(v)]
+                for k, v in props_in.items()
+            }
+            rows.append((field, prio, seq, ref.get("id"), props))
+    return spark.createDataFrame(
+        rows,
+        "search_field string, field_priority int, candidate_seq long, "
+        "node_id string, properties map<string, array<string>>")
