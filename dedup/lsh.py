@@ -5,7 +5,7 @@ Replaces the reference's remote-search candidate generation
 split into b bands of r rows (b*r = num_hashes); each band is hashed to a
 bucket key; documents sharing any (band_id, band_hash) bucket become
 candidate pairs — the classic explode + groupBy plan from the north-star
-spec. The norm_url equi-join reproduces the reference's URL-exact
+spec. The norm_url group-join reproduces the reference's URL-exact
 short-circuit (app/hash_detector.py:249-266) and doubles as a recall
 backstop.
 
@@ -15,23 +15,59 @@ Scale design (the part that must survive 100 TB):
   joins them back by key).
 - band_hash is a native xxhash64 over the array slice: whole-stage codegen,
   no Python.
-- hot buckets (boilerplate cliques — FIXTURES.md §1.10) are detected by a
-  bucket-count aggregation. Small buckets self-join all-pairs; hot buckets
-  emit STAR edges (bucket-min url -> member), which preserves cluster
-  connectivity with O(n) instead of O(n^2) edges per bucket. Any pair missed
-  by a hot-band star has b-1 independent chances to collide in other bands,
-  plus the norm_url join. The self-join itself runs under AQE skew-join.
-- `a < b` canonicalization + dropDuplicates before verification mirrors the
+- pair emission is ONE groupBy collect_set per key with NATIVE in-group
+  expansion (no self-join): all pairs for groups <= cap via a codegen
+  transform/flatten; star edges around the group-min member for hot
+  (boilerplate) groups — O(n) edges, cluster connectivity preserved; a pair
+  missed inside one hot band has b-1 other bands plus the norm_url group.
+  Hot keys come from a count pre-pass whose above-cap result is tiny and
+  broadcast.
+- `a < b` canonicalization + one dedup pass before verification mirrors the
   reference's seen-id dedup (app/hash_detector.py:290-293) and keeps the
   expensive scoring stage minimal (SURVEY §4 "dedup before scoring").
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
 from dedup.config import DedupConfig
-from dedup.normalize import normalize_url_udf
+
+# all-pairs expansion over the sorted members of one group: (i, j) with i < j
+_PAIR_EXPANSION = (
+    "flatten(transform(us, (x, i) -> "
+    "transform(slice(us, i + 2, size(us) - i - 1), y -> struct(x as a, y as b))))"
+)
+
+
+def pairs_within_groups(members: DataFrame, key_cols: list[str],
+                        cap: int, member_col: str = "url") -> DataFrame:
+    """(key..., member) -> (a, b) pairs within each key group, skew-aware.
+
+    Groups with <= cap members emit all pairs via native expansion; hot
+    groups emit star edges around their min member (connectivity-
+    preserving). Output is NOT deduplicated across keys.
+    """
+    m = members.select(*key_cols, F.col(member_col).alias("url"))
+    hot_keys = (m.groupBy(*key_cols).agg(F.count(F.lit(1)).alias("n"))
+                .where(F.col("n") > cap).drop("n")
+                .withColumn("_hot", F.lit(True)))
+    marked = m.join(F.broadcast(hot_keys), key_cols, "left")
+
+    cold_groups = (marked.where(F.col("_hot").isNull())
+                   .groupBy(*key_cols)
+                   .agg(F.sort_array(F.collect_set("url")).alias("us"))
+                   .where(F.size("us") > 1))
+    cold_pairs = (cold_groups.select(F.explode(F.expr(_PAIR_EXPANSION)).alias("p"))
+                  .select("p.a", "p.b"))
+
+    hot = marked.where(F.col("_hot").isNotNull())
+    hot_centers = (hot.groupBy(*key_cols).agg(F.min("url").alias("a")))
+    hot_pairs = (hot.join(F.broadcast(hot_centers), key_cols)
+                 .where(F.col("url") != F.col("a"))
+                 .select("a", F.col("url").alias("b")))
+
+    return cold_pairs.unionByName(hot_pairs)
 
 
 def band_buckets(signatures: DataFrame, cfg: DedupConfig) -> DataFrame:
@@ -52,69 +88,36 @@ def band_buckets(signatures: DataFrame, cfg: DedupConfig) -> DataFrame:
 
 
 def lsh_candidate_pairs(signatures: DataFrame, cfg: DedupConfig) -> DataFrame:
-    """Emit candidate pairs (a, b, match_source='lsh'), a < b, deduplicated.
-
-    Two-phase, skew-aware:
-      phase 1: bucket sizes via groupBy count (map-side combine, tiny rows);
-      phase 2: small buckets -> all-pairs self-join; hot buckets -> star
-               edges around the bucket-min url.
-    """
+    """Candidate pairs (a, b, match_source='lsh'), a < b, deduplicated
+    across bands."""
     buckets = band_buckets(signatures, cfg)
-    sizes = buckets.groupBy("band_id", "band_hash").count()
-
-    keyed = buckets.join(sizes, ["band_id", "band_hash"])
-    small = keyed.where(F.col("count") <= cfg.band_bucket_cap).drop("count")
-    hot = keyed.where(F.col("count") > cfg.band_bucket_cap).drop("count")
-
-    left = small.select("band_id", "band_hash", F.col("url").alias("a"))
-    right = small.select("band_id", "band_hash", F.col("url").alias("b"))
-    small_pairs = (
-        left.join(right, ["band_id", "band_hash"])
-        .where(F.col("a") < F.col("b"))
-        .select("a", "b")
-    )
-
-    hot_centers = hot.groupBy("band_id", "band_hash").agg(F.min("url").alias("a"))
-    hot_pairs = (
-        hot.join(hot_centers, ["band_id", "band_hash"])
-        .where(F.col("url") != F.col("a"))
-        .select("a", F.col("url").alias("b"))
-    )
-
-    return (
-        small_pairs.unionByName(hot_pairs)
-        .dropDuplicates(["a", "b"])
-        .withColumn("match_source", F.lit("lsh"))
-    )
+    return (pairs_within_groups(buckets, ["band_id", "band_hash"],
+                                cfg.band_bucket_cap)
+            .dropDuplicates(["a", "b"])
+            .withColumn("match_source", F.lit("lsh")))
 
 
-def url_exact_pairs(corpus: DataFrame) -> DataFrame:
+def url_exact_pairs(signatures: DataFrame,
+                    cap: int = 100_000) -> DataFrame:
     """(a, b, match_source='url_exact'): documents whose normalized URLs
     collide (parity: app/hash_detector.py:249-266 — URL-exact matches score
     1.0 and bypass the similarity threshold).
 
-    Honors an optional `redirect_url` column: a document's match keys are
-    norm(url) plus norm(redirect_url) (reference compares candidates against
-    both, app/hash_detector.py:251-261).
+    Keys come straight off the signatures table (norm_url + norm_redirect,
+    computed in the single Arrow pass — reference matches candidates against
+    both the url and the redirect, app/hash_detector.py:251-261), so this
+    stage is pure JVM: explode the two key columns, group, native pair
+    expansion — one shuffle, no self-join, no Python. The cap only guards
+    degenerate mega-URL groups; url_exact pairs all score 1.0, so star
+    edges lose nothing but redundant edges.
     """
-    keys = corpus.select("url", normalize_url_udf(F.col("url")).alias("norm"))
-    if "redirect_url" in corpus.columns:
-        redirected = (
-            corpus.where(F.col("redirect_url").isNotNull())
-            .select("url", normalize_url_udf(F.col("redirect_url")).alias("norm"))
-        )
-        keys = keys.unionByName(redirected)
-    keys = keys.where(F.col("norm").isNotNull())
-
-    left = keys.select(F.col("norm"), F.col("url").alias("a"))
-    right = keys.select(F.col("norm"), F.col("url").alias("b"))
-    return (
-        left.join(right, "norm")
-        .where(F.col("a") < F.col("b"))
-        .select("a", "b")
-        .dropDuplicates(["a", "b"])
-        .withColumn("match_source", F.lit("url_exact"))
-    )
+    keys = (signatures
+            .select("url", F.explode(F.array_compact(
+                F.array("norm_url", "norm_redirect"))).alias("norm"))
+            .where(F.col("norm").isNotNull()))
+    return (pairs_within_groups(keys, ["norm"], cap)
+            .dropDuplicates(["a", "b"])
+            .withColumn("match_source", F.lit("url_exact")))
 
 
 def simhash_prefilter(pairs: DataFrame, signatures: DataFrame,
@@ -136,16 +139,20 @@ def simhash_prefilter(pairs: DataFrame, signatures: DataFrame,
     )
 
 
-def candidate_pairs(corpus: DataFrame, signatures: DataFrame,
+def candidate_pairs(signatures: DataFrame,
                     cfg: DedupConfig,
                     use_simhash_prefilter: bool = False) -> DataFrame:
-    """Full candidate set: LSH ∪ url_exact, url_exact winning on overlap
-    (a url_exact pair scores 1.0 regardless of text, like the reference's
-    short-circuit at app/hash_detector.py:263-266)."""
+    """Full candidate set: LSH ∪ url_exact, one window dedup pass with
+    url_exact winning on overlap (a url_exact pair scores 1.0 regardless of
+    text, like the reference's short-circuit at app/hash_detector.py:263-266).
+    The window replaces a left-anti join that would re-execute the whole
+    url_exact subplan a second time."""
     lsh = lsh_candidate_pairs(signatures, cfg)
     if use_simhash_prefilter:
         lsh = simhash_prefilter(lsh, signatures, cfg)
-    exact = url_exact_pairs(corpus)
-    # left-anti the lsh side so overlapping pairs keep match_source=url_exact
-    lsh_only = lsh.join(exact.select("a", "b"), ["a", "b"], "left_anti")
-    return exact.unionByName(lsh_only)
+    exact = url_exact_pairs(signatures)
+    both = exact.unionByName(lsh)
+    w = Window.partitionBy("a", "b").orderBy(
+        (F.col("match_source") == "url_exact").desc())
+    return (both.withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") == 1).drop("_rn"))

@@ -247,6 +247,47 @@ def normalize_url_udf(urls: pd.Series) -> pd.Series:
     return urls.map(normalize_url)
 
 
+# "simple" URLs — the overwhelming majority of a web corpus — normalize with
+# pure string ops that a native expression chain replicates exactly:
+# scheme://host/path with lowercase-safe charset, no userinfo/port/params,
+# not YouTube. Everything else falls back to the Python UDF. Equivalence to
+# `normalize_url` is hypothesis-tested (tests/test_normalize_native.py).
+_SIMPLE_URL_RE = r'^https?://[a-z0-9.-]+(/[^?#;@:\\]*)?([?#].*)?$'
+_YT_HINT_RE = r'youtube\.com|youtu\.be'
+
+
+def norm_url_col(col):
+    """Native normalize_url for simple URLs (null for non-simple — caller
+    must route those through `normalize_url_udf`). Whole-stage-codegen
+    friendly: no Python in the hot path."""
+    c = F.col(col) if isinstance(col, str) else col
+    u = F.lower(F.trim(c))
+    simple = u.rlike(_SIMPLE_URL_RE) & ~u.rlike(_YT_HINT_RE)
+    stripped = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(u, r'^https?://', ''),
+            r'[?#].*$', ''),
+        r'^www\.', '')
+    native = F.regexp_replace(stripped, r'/+$', '')
+    native = F.when(F.length(native) > 0, native)
+    return F.when(simple, native)
+
+
+def with_norm_url(df, url_col: str = "url", out_col: str = "norm_url"):
+    """df + normalized-url column, Python only where unavoidable.
+
+    Splits rows into a native branch (simple http(s) URLs, codegen regexps)
+    and a UDF branch (YouTube / odd syntax), then unions — the ArrowEval
+    stage touches only the odd rows, which keeps the corpus-wide norm_url
+    join JVM-side at web scale."""
+    c = F.lower(F.trim(F.col(url_col)))
+    is_simple = c.rlike(_SIMPLE_URL_RE) & ~c.rlike(_YT_HINT_RE)
+    native = df.where(is_simple).withColumn(out_col, norm_url_col(url_col))
+    fallback = df.where(~is_simple | is_simple.isNull()).withColumn(
+        out_col, normalize_url_udf(F.col(url_col)))
+    return native.unionByName(fallback)
+
+
 @F.pandas_udf(StringType())
 def normalize_title_udf(titles: pd.Series) -> pd.Series:
     return titles.map(normalize_title)

@@ -131,7 +131,7 @@ class DedupPipeline:
         pairs = self._run_stage(
             "pairs",
             lambda: candidate_pairs(
-                extracted, signatures, self.cfg,
+                signatures, self.cfg,
                 use_simhash_prefilter=(self.cfg.scoring == "jaccard")),
         )
         verified = self._run_stage(

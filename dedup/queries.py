@@ -1,0 +1,475 @@
+"""Driver-contract queries: one entry per implemented operator
+(SURVEY §2 + §2.6 + training-pipeline extras), each over the driver-provided
+tables at a given sf dir, with a DuckDB-equivalent ANSI-SQL oracle where the
+semantics are SQL-expressible (SURVEY §5.6).
+
+Determinism rules for oracle comparison (driver hashes values):
+- prefer integer outputs (counts) over float ratios;
+- aggregate doubles through decimal(18,6) so summation order can't skew;
+- where floats are unavoidable (cosine), order by the float but emit it
+  rounded, computed with the same fold order on both sides.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from dedup.cluster import assign_clusters
+from dedup.config import PARITY_CONFIG
+from dedup.lsh import candidate_pairs
+from dedup.normalize import normalize_url_udf, normalize_title_udf
+from dedup.signature import signatures_table
+from dedup.verify import verify_pairs
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/events.parquet")
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def docs_as_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents -> corpus shape: synthesized deterministic url + text.
+    doc_id < 50 additionally appears as a planted mirror copy (exact dup)."""
+    d = _docs(spark, sf_dir).select(
+        F.concat(F.lit("https://www."), "source", F.lit(".example.com/docs/"),
+                 F.col("doc_id").cast("string")).alias("url"),
+        "text", "lang", "doc_id")
+    mirrors = (d.where("doc_id < 50")
+               .withColumn("url", F.concat(F.lit("https://mirror.net/copy/"),
+                                           F.col("doc_id").cast("string"))))
+    return d.unionByName(mirrors)
+
+
+# --- tokenization / text stats -------------------------------------------------
+
+_TOKENS = "filter(split(lower(text), '\\\\s+'), x -> length(x) > 1)"
+
+
+def q_token_count(spark, sf_dir):
+    """T1 tokenize: reference tokenization (lowercase, ws-split, len>1)."""
+    return _docs(spark, sf_dir).select(
+        "doc_id", F.expr(f"size({_TOKENS})").cast("bigint").alias("n_tokens"))
+
+
+def q_text_quality(spark, sf_dir):
+    """Quality-scoring counters (training-pipeline extra): char/token/punct/
+    digit/stopword counts as integers (ratio-free determinism)."""
+    stop = "('the','a','of','and','to','in','is','it','for','on')"
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        F.length("text").cast("bigint").alias("n_chars"),
+        F.expr(f"size({_TOKENS})").cast("bigint").alias("n_tokens"),
+        F.expr("length(text) - length(regexp_replace(text, '[.,;:!?]', ''))")
+        .cast("bigint").alias("n_punct"),
+        F.expr("length(text) - length(regexp_replace(text, '[0-9]', ''))")
+        .cast("bigint").alias("n_digits"),
+        F.expr(f"size(filter(split(lower(text), '\\\\s+'), x -> x in {stop}))")
+        .cast("bigint").alias("n_stopwords"),
+    )
+
+
+_LANG_STOPS = {
+    "en": ("the", "and", "of", "to", "is", "was", "for", "with"),
+    "de": ("der", "die", "und", "das", "ist", "von", "mit", "nicht"),
+    "fr": ("le", "la", "et", "les", "des", "est", "dans", "pour"),
+    "es": ("el", "la", "los", "es", "por", "con", "para", "una"),
+}
+
+
+def q_lang_stopword_scores(spark, sf_dir):
+    """Language-ID heuristic (training-pipeline extra): per-language stopword
+    hit counts + argmax (ties broken by language-code order)."""
+    df = _docs(spark, sf_dir)
+    cols = [F.col("doc_id")]
+    for lang, words in _LANG_STOPS.items():
+        lst = "(" + ",".join(f"'{w}'" for w in words) + ")"
+        cols.append(
+            F.expr(f"size(filter(split(lower(text), '\\\\s+'), x -> x in {lst}))")
+            .cast("bigint").alias(f"hits_{lang}"))
+    df = df.select(*cols)
+    best = F.greatest(*[F.col(f"hits_{lg}") for lg in _LANG_STOPS])
+    pred = F.lit("und")
+    for lang in reversed(list(_LANG_STOPS)):  # earlier langs win ties
+        pred = F.when((best > 0) & (F.col(f"hits_{lang}") == best),
+                      F.lit(lang)).otherwise(pred)
+    return df.withColumn("pred_lang", pred)
+
+
+def _lang_oracle_sql() -> str:
+    hit_cols, names = [], []
+    for lang, words in _LANG_STOPS.items():
+        lst = "(" + ",".join(f"'{w}'" for w in words) + ")"
+        hit_cols.append(
+            f"CAST(len(list_filter(string_split_regex(lower(text), '\\s+'), "
+            f"x -> x in {lst})) AS BIGINT) AS hits_{lang}")
+        names.append(f"hits_{lang}")
+    best = f"greatest({', '.join(names)})"
+    case = "CASE WHEN " + best + " = 0 THEN 'und' " + " ".join(
+        f"WHEN hits_{lg} = {best} THEN '{lg}'" for lg in _LANG_STOPS
+    ) + " ELSE 'und' END"
+    return (f"WITH h AS (SELECT doc_id, {', '.join(hit_cols)} FROM documents) "
+            f"SELECT doc_id, {', '.join(names)}, {case} AS pred_lang FROM h")
+
+
+# --- normalization --------------------------------------------------------------
+
+def q_url_normalize(spark, sf_dir):
+    """N1 normalize_url over deterministic synthesized urls (non-YouTube
+    path; YouTube parity is pytest-gated)."""
+    d = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.concat(F.lit("HTTPS://WWW."), "source", F.lit(".Example.com/Docs/"),
+                 F.col("doc_id").cast("string"),
+                 F.lit("/?utm_source=x&ref=y")).alias("raw_url"))
+    return d.select("doc_id", normalize_url_udf("raw_url").alias("norm_url"))
+
+
+def q_title_normalize(spark, sf_dir):
+    """N3 normalize_title: publisher-suffix strip over constructed titles."""
+    d = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.concat(F.trim(F.substring("text", 1, 40)),
+                 F.lit(" - Wikipedia")).alias("title"))
+    return d.select("doc_id", normalize_title_udf("title").alias("norm_title"))
+
+
+def q_field_validity(spark, sf_dir):
+    """T8/S5 validity predicates as a single-row summary."""
+    from dedup.normalize import valid_field_col, valid_search_value_col
+    d = _docs(spark, sf_dir)
+    return d.agg(
+        F.sum(valid_field_col("text").cast("bigint")).alias("n_valid_field"),
+        F.sum(valid_search_value_col("text").cast("bigint"))
+        .alias("n_valid_search"),
+        F.count(F.lit(1)).alias("n_total"),
+    )
+
+
+# --- dedup ----------------------------------------------------------------------
+
+def q_exact_dup_groups(spark, sf_dir):
+    """Exact dedup via hash-groupBy over corpus with planted mirrors."""
+    c = docs_as_corpus(spark, sf_dir)
+    return (c.groupBy(F.md5(F.encode("text", "utf-8")).alias("text_hash"))
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.min("url").alias("first_url"))
+            .where("n_docs > 1"))
+
+
+def q_exact_dedup_keep_first(spark, sf_dir):
+    """First-occurrence dedup (T9f analog): keep min url per text group."""
+    c = docs_as_corpus(spark, sf_dir)
+    w = Window.partitionBy(F.md5(F.encode("text", "utf-8"))).orderBy("url")
+    return (c.withColumn("rn", F.row_number().over(w))
+            .where("rn = 1").select("url", "doc_id").orderBy("url")
+            .select(F.count(F.lit(1)).alias("n_kept"),
+                    F.sum("doc_id").alias("sum_doc_id")))
+
+
+def q_exact_clusters(spark, sf_dir):
+    """Connected components over exact-duplicate edges: engine CC vs the
+    SQL truth min(doc_id) per text group (strong CC oracle)."""
+    c = docs_as_corpus(spark, sf_dir).select(
+        F.lpad(F.col("doc_id").cast("string"), 12, "0").alias("vid"),
+        F.when(F.col("url").startswith("https://mirror.net/"),
+               F.col("doc_id") + 100000).otherwise(F.col("doc_id"))
+        .alias("row_key"),
+        "text")
+    # mirrors share doc_id with their original: give them distinct vertex ids
+    c = c.select(F.lpad(F.col("row_key").cast("string"), 12, "0").alias("vid"),
+                 "text")
+    groups = c.groupBy("text").agg(F.collect_list("vid").alias("vids"))
+    edges = (groups.where(F.size("vids") > 1)
+             .select(F.array_min("vids").alias("a"),
+                     F.explode("vids").alias("b"))
+             .where("a != b"))
+    assign = assign_clusters(c.select(F.col("vid").alias("url")), edges)
+    return assign.select(
+        F.col("url").cast("bigint").alias("row_key"),
+        F.col("cluster_id").cast("bigint").alias("cluster_id"))
+
+
+def q_ngram_jaccard_pairs(spark, sf_dir):
+    """Word-3-gram Jaccard (T2 semantics + engine exact-Jaccard verify) for
+    doc pairs among doc_id < 40, as integer intersection/union sizes."""
+    d = _docs(spark, sf_dir).where("doc_id < 40")
+    grams = d.select(
+        "doc_id",
+        F.expr(
+            f"array_distinct(transform(sequence(1, greatest(size({_TOKENS}) - 2, 1)),"
+            f" i -> concat_ws(' ', slice({_TOKENS}, i, 3))))"
+        ).alias("grams"))
+    a = grams.select(F.col("doc_id").alias("a"), F.col("grams").alias("ga"))
+    b = grams.select(F.col("doc_id").alias("b"), F.col("grams").alias("gb"))
+    pairs = (a.join(b, F.col("a") < F.col("b"))
+             .select("a", "b",
+                     F.size(F.array_intersect("ga", "gb")).cast("bigint")
+                     .alias("n_intersect"),
+                     F.size(F.array_union("ga", "gb")).cast("bigint")
+                     .alias("n_union"))
+             .where("n_intersect > 0"))
+    return pairs
+
+
+# --- signature / LSH / cluster pipeline (rows-only checks) ----------------------
+
+def q_minhash_signatures(spark, sf_dir):
+    """T3/T5: parity MinHash signatures (non-SQL-expressible; rows-only)."""
+    c = docs_as_corpus(spark, sf_dir)
+    s = signatures_table(c, PARITY_CONFIG)
+    return s.select("url",
+                    F.size("minhash").alias("sig_len"),
+                    "n_tokens",
+                    F.get("minhash", 0).alias("sig0"),
+                    "simhash")
+
+
+def q_lsh_candidate_pairs(spark, sf_dir):
+    """LSH banding + url-exact candidate generation (rows-only)."""
+    c = docs_as_corpus(spark, sf_dir)
+    s = signatures_table(c, PARITY_CONFIG)
+    return candidate_pairs(s, PARITY_CONFIG).orderBy("a", "b")
+
+
+def q_dup_clusters(spark, sf_dir):
+    """Full dedup pipeline over the planted-mirror corpus (rows-only)."""
+    c = docs_as_corpus(spark, sf_dir)
+    s = signatures_table(c, PARITY_CONFIG)
+    pairs = candidate_pairs(s, PARITY_CONFIG)
+    verified = verify_pairs(pairs, s, PARITY_CONFIG)
+    return assign_clusters(c.select("url"),
+                           verified.where("keep").select("a", "b"))
+
+
+def q_simhash_hamming(spark, sf_dir):
+    """SimHash fingerprints + Hamming distance to doc 0 (rows-only)."""
+    c = docs_as_corpus(spark, sf_dir).where(~F.col("url").startswith(
+        "https://mirror.net/"))
+    s = signatures_table(c, PARITY_CONFIG).where("simhash is not null")
+    ref_hash = s.orderBy("url").select("simhash").limit(1)
+    return (s.crossJoin(F.broadcast(ref_hash.withColumnRenamed(
+        "simhash", "ref_simhash")))
+        .select("url", "simhash",
+                F.bit_count(F.col("simhash").bitwiseXOR(F.col("ref_simhash")))
+                .alias("hamming")))
+
+
+# --- embeddings ------------------------------------------------------------------
+
+def q_embedding_knn(spark, sf_dir):
+    """Brute-force cosine top-5 neighbors for query vectors vec_id < 5
+    (ANN baseline). Sequential-fold dot product in double precision."""
+    e = _emb(spark, sf_dir).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v"))
+    q = (e.where("vec_id < 5")
+         .select(F.col("vec_id").alias("qid"), F.col("v").alias("qv")))
+    dot = F.expr("aggregate(zip_with(qv, v, (x, y) -> x * y), "
+                 "cast(0.0 as double), (acc, x) -> acc + x)")
+    norm = ("sqrt(aggregate(transform({0}, x -> x * x), cast(0.0 as double), "
+            "(acc, x) -> acc + x))")
+    cos = dot / (F.expr(norm.format("qv")) * F.expr(norm.format("v")))
+    scored = (q.crossJoin(e).where(F.col("qid") != F.col("vec_id"))
+              .select("qid", "vec_id", cos.alias("cos")))
+    w = Window.partitionBy("qid").orderBy(F.desc("cos"), F.asc("vec_id"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .where("rank <= 5")
+            .select("qid", "vec_id", F.col("rank").cast("bigint").alias("rank"),
+                    F.round("cos", 6).alias("cos_sim")))
+
+
+def q_embedding_knn_lsh(spark, sf_dir):
+    """Scale-path ANN: random-hyperplane LSH bucketing then exact rerank
+    within buckets (rows-only; engine extra)."""
+    e = _emb(spark, sf_dir).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v"))
+    rng = np.random.RandomState(42)
+    planes = rng.randn(8, 64)
+
+    @F.pandas_udf("long")
+    def bucket_udf(vs: pd.Series) -> pd.Series:
+        M = np.stack(vs.to_numpy())
+        bits = (M @ planes.T) > 0
+        out = np.zeros(len(vs), dtype=np.int64)
+        for i in range(8):
+            out = (out << 1) | bits[:, i].astype(np.int64)
+        return pd.Series(out)
+
+    b = e.withColumn("bucket", bucket_udf("v"))
+    left = b.select(F.col("vec_id").alias("a"), F.col("v").alias("va"), "bucket")
+    right = b.select(F.col("vec_id").alias("b"), F.col("v").alias("vb"), "bucket")
+    dot = F.expr("aggregate(zip_with(va, vb, (x, y) -> x * y), "
+                 "cast(0.0 as double), (acc, x) -> acc + x)")
+    norm = ("sqrt(aggregate(transform({0}, x -> x * x), cast(0.0 as double), "
+            "(acc, x) -> acc + x))")
+    cos = dot / (F.expr(norm.format("va")) * F.expr(norm.format("vb")))
+    pairs = (left.join(right, "bucket").where(F.col("a") < F.col("b"))
+             .select("a", "b", F.round(cos, 6).alias("cos_sim"))
+             .where("cos_sim > 0.2"))
+    return pairs.orderBy("a", "b")
+
+
+# --- events (generic operator coverage: agg / window / top-k) --------------------
+
+def q_events_agg(spark, sf_dir):
+    """Hash aggregation with exact decimal sums (M2/T9e analog)."""
+    return (_events(spark, sf_dir)
+            .groupBy("event_type")
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 F.countDistinct("user_id").alias("n_users"),
+                 F.round(F.sum(F.col("value").cast("decimal(18,6)"))
+                         .cast("double"), 2).alias("total_value")))
+
+
+def q_events_user_rank(spark, sf_dir):
+    """Window function: top-3 users per event_type by event count (T9f/T9h
+    analog: rank + deterministic tie-breaks)."""
+    counts = (_events(spark, sf_dir).groupBy("event_type", "user_id")
+              .agg(F.count(F.lit(1)).alias("n")))
+    w = Window.partitionBy("event_type").orderBy(F.desc("n"), F.asc("user_id"))
+    return (counts.withColumn("rnk", F.row_number().over(w))
+            .where("rnk <= 3")
+            .select("event_type", "user_id",
+                    F.col("n").cast("bigint").alias("n"),
+                    F.col("rnk").cast("bigint").alias("rnk")))
+
+
+def q_events_hourly_topk(spark, sf_dir):
+    """Time bucketing + top-k (sort/limit operator coverage)."""
+    return (_events(spark, sf_dir)
+            .groupBy(F.date_trunc("hour", "ts").alias("hour"))
+            .agg(F.count(F.lit(1)).alias("n_events"))
+            .orderBy(F.desc("n_events"), F.asc("hour"))
+            .limit(10))
+
+
+# --- registry --------------------------------------------------------------------
+
+QUERIES = {
+    "token_count": q_token_count,
+    "text_quality": q_text_quality,
+    "lang_stopword_scores": q_lang_stopword_scores,
+    "url_normalize": q_url_normalize,
+    "title_normalize": q_title_normalize,
+    "field_validity": q_field_validity,
+    "exact_dup_groups": q_exact_dup_groups,
+    "exact_dedup_keep_first": q_exact_dedup_keep_first,
+    "exact_clusters": q_exact_clusters,
+    "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
+    "minhash_signatures": q_minhash_signatures,
+    "lsh_candidate_pairs": q_lsh_candidate_pairs,
+    "dup_clusters": q_dup_clusters,
+    "simhash_hamming": q_simhash_hamming,
+    "embedding_knn": q_embedding_knn,
+    "embedding_knn_lsh": q_embedding_knn_lsh,
+    "events_agg": q_events_agg,
+    "events_user_rank": q_events_user_rank,
+    "events_hourly_topk": q_events_hourly_topk,
+}
+
+_DUCK_TOKENS = "list_filter(string_split_regex(lower(text), '\\s+'), x -> len(x) > 1)"
+
+_CORPUS_CTE = (
+    "WITH corpus AS ("
+    "SELECT 'https://www.' || source || '.example.com/docs/' || CAST(doc_id AS VARCHAR)"
+    " AS url, text, lang, doc_id FROM documents "
+    "UNION ALL "
+    "SELECT 'https://mirror.net/copy/' || CAST(doc_id AS VARCHAR) AS url, "
+    "text, lang, doc_id FROM documents WHERE doc_id < 50)"
+)
+
+ORACLE_SQL = {
+    "token_count": (
+        f"SELECT doc_id, CAST(len({_DUCK_TOKENS}) AS BIGINT) AS n_tokens "
+        "FROM documents"),
+    "text_quality": (
+        "SELECT doc_id, CAST(len(text) AS BIGINT) AS n_chars, "
+        f"CAST(len({_DUCK_TOKENS}) AS BIGINT) AS n_tokens, "
+        "CAST(len(text) - len(regexp_replace(text, '[.,;:!?]', '', 'g')) AS BIGINT) AS n_punct, "
+        "CAST(len(text) - len(regexp_replace(text, '[0-9]', '', 'g')) AS BIGINT) AS n_digits, "
+        "CAST(len(list_filter(string_split_regex(lower(text), '\\s+'), "
+        "x -> x in ('the','a','of','and','to','in','is','it','for','on'))) AS BIGINT) "
+        "AS n_stopwords FROM documents"),
+    "lang_stopword_scores": _lang_oracle_sql(),
+    "url_normalize": (
+        "SELECT doc_id, "
+        "rtrim(regexp_replace(regexp_replace(regexp_replace(lower("
+        "'HTTPS://WWW.' || source || '.Example.com/Docs/' || CAST(doc_id AS VARCHAR) || '/?utm_source=x&ref=y'"
+        "), '^https?://', ''), '^www\\.', ''), '\\?.*$', ''), '/') AS norm_url "
+        "FROM documents"),
+    "title_normalize": (
+        "SELECT doc_id, regexp_replace("
+        "trim(substr(text, 1, 40)) || ' - Wikipedia', "
+        "'\\s*[-–—|:]\\s*(?:Wikipedia|Klexikon|Wikibooks|Wikiversity|planet-schule"
+        "|Planet Schule|Lehrer-Online|Lernhelfer|sofatutor|learningapps|serlo)[^\\n]{0,200}$', "
+        "'', 'i') AS norm_title FROM documents"),
+    "field_validity": (
+        "SELECT CAST(sum(CASE WHEN text IS NOT NULL AND len(trim(text)) > 0 "
+        "AND lower(trim(text)) != 'string' THEN 1 ELSE 0 END) AS BIGINT) AS n_valid_field, "
+        "CAST(sum(CASE WHEN text IS NOT NULL AND len(trim(text)) >= 3 "
+        "AND lower(trim(text)) NOT IN ('string','n/a','unknown','') THEN 1 ELSE 0 END) AS BIGINT) "
+        "AS n_valid_search, count(*) AS n_total FROM documents"),
+    "exact_dup_groups": (
+        _CORPUS_CTE +
+        " SELECT md5(text) AS text_hash, count(*) AS n_docs, min(url) AS first_url "
+        "FROM corpus GROUP BY 1 HAVING count(*) > 1"),
+    "exact_dedup_keep_first": (
+        _CORPUS_CTE +
+        ", ranked AS (SELECT url, doc_id, row_number() OVER "
+        "(PARTITION BY md5(text) ORDER BY url) AS rn FROM corpus) "
+        "SELECT count(*) AS n_kept, sum(doc_id) AS sum_doc_id "
+        "FROM ranked WHERE rn = 1"),
+    "exact_clusters": (
+        _CORPUS_CTE +
+        ", keyed AS (SELECT CASE WHEN url LIKE 'https://mirror.net/%' "
+        "THEN doc_id + 100000 ELSE doc_id END AS row_key, text FROM corpus) "
+        "SELECT row_key, min(row_key) OVER (PARTITION BY text) AS cluster_id "
+        "FROM keyed"),
+    "ngram_jaccard_pairs": (
+        "WITH toks AS (SELECT doc_id, "
+        f"CASE WHEN len({_DUCK_TOKENS}) < 3 THEN 1 ELSE len({_DUCK_TOKENS}) - 2 END AS n3, "
+        f"{_DUCK_TOKENS} AS ts FROM documents WHERE doc_id < 40), "
+        "grams AS (SELECT DISTINCT doc_id, "
+        "array_to_string(ts[i:i+2], ' ') AS g "
+        "FROM toks, unnest(generate_series(1, n3)) AS t(i)), "
+        "inter AS (SELECT g1.doc_id AS a, g2.doc_id AS b, "
+        "count(*) AS n_intersect FROM grams g1 JOIN grams g2 "
+        "ON g1.g = g2.g AND g1.doc_id < g2.doc_id GROUP BY 1, 2), "
+        "sizes AS (SELECT doc_id, count(*) AS n FROM grams GROUP BY 1) "
+        "SELECT i.a, i.b, i.n_intersect, "
+        "sa.n + sb.n - i.n_intersect AS n_union "
+        "FROM inter i JOIN sizes sa ON sa.doc_id = i.a "
+        "JOIN sizes sb ON sb.doc_id = i.b WHERE i.n_intersect > 0"),
+    "embedding_knn": (
+        "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings), "
+        "q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 5), "
+        "scored AS (SELECT q.qid, e.vec_id, "
+        "list_dot_product(q.qv, e.v) / "
+        "(sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(e.v, e.v))) AS cos "
+        "FROM q CROSS JOIN e WHERE q.qid != e.vec_id), "
+        "ranked AS (SELECT qid, vec_id, cos, row_number() OVER "
+        "(PARTITION BY qid ORDER BY cos DESC, vec_id ASC) AS rank FROM scored) "
+        "SELECT qid, vec_id, rank, round(cos, 6) AS cos_sim "
+        "FROM ranked WHERE rank <= 5"),
+    "events_agg": (
+        "SELECT event_type, count(*) AS n_events, "
+        "count(DISTINCT user_id) AS n_users, "
+        "round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 2) AS total_value "
+        "FROM events GROUP BY 1"),
+    "events_user_rank": (
+        "WITH c AS (SELECT event_type, user_id, count(*) AS n FROM events "
+        "GROUP BY 1, 2), r AS (SELECT event_type, user_id, n, row_number() "
+        "OVER (PARTITION BY event_type ORDER BY n DESC, user_id ASC) AS rnk "
+        "FROM c) SELECT event_type, user_id, n, rnk FROM r WHERE rnk <= 3"),
+    "events_hourly_topk": (
+        "SELECT date_trunc('hour', ts) AS hour, count(*) AS n_events "
+        "FROM events GROUP BY 1 ORDER BY n_events DESC, hour ASC LIMIT 10"),
+}

@@ -41,7 +41,8 @@ from dedup.coeffs import load_coeffs
 _P = np.uint64(MINHASH_PRIME)
 
 SIGNATURE_SCHEMA = (
-    "url string, minhash array<bigint>, simhash bigint, "
+    "url string, norm_url string, norm_redirect string, "
+    "minhash array<bigint>, simhash bigint, "
     "shingles array<bigint>, n_tokens int"
 )
 
@@ -149,20 +150,36 @@ def compute_text_signature(text: str | None, A: np.ndarray, B: np.ndarray,
 
 def signatures_table(corpus, cfg: DedupConfig, text_col: str = "text",
                      key_col: str = "url"):
-    """corpus -> signatures(url, minhash, simhash, shingles, n_tokens).
+    """corpus -> signatures(url, norm_url, norm_redirect, minhash, simhash,
+    shingles, n_tokens) — ONE Arrow pass for normalization + tokenize +
+    shingle + MinHash + SimHash. Folding norm_url into this mapInPandas
+    stage keeps the corpus hot path at exactly one Python stage: standalone
+    UDF stages each pay python-worker acquisition per task, which measurably
+    stalls wide plans (chained ArrowEval tasks block at ~0% CPU waiting on
+    worker spawn).
 
     Rows whose text yields no signature (empty/blank) are emitted with null
-    minhash so callers can count/inspect them; filter `minhash IS NOT NULL`
-    before banding.
+    minhash so callers can count/inspect them; norm keys are still present
+    (the reference scores URL-exact matches without a signature,
+    app/hash_detector.py:263-266). Filter `minhash IS NOT NULL` before
+    banding.
     """
+    from dedup.normalize import normalize_url
+
     A, B = load_coeffs(cfg.num_hashes, cfg.seed)
+    has_redirect = "redirect_url" in corpus.columns
 
     def compute(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            urls, sigs, simhashes, shingles_out, ntoks = [], [], [], [], []
-            for url, text in zip(pdf[key_col], pdf[text_col]):
-                words = tokenize(text)
+            redirects = (pdf["redirect_url"] if has_redirect
+                         else pd.Series([None] * len(pdf)))
+            urls, norms, norm_redirs = [], [], []
+            sigs, simhashes, shingles_out, ntoks = [], [], [], []
+            for url, text, redir in zip(pdf[key_col], pdf[text_col], redirects):
                 urls.append(url)
+                norms.append(normalize_url(url))
+                norm_redirs.append(normalize_url(redir) if redir else None)
+                words = tokenize(text)
                 ntoks.append(len(words))
                 if not words:
                     sigs.append(None)
@@ -179,11 +196,15 @@ def signatures_table(corpus, cfg: DedupConfig, text_col: str = "text",
                 shingles_out.append(np.sort(arr).astype(np.int64))
             yield pd.DataFrame({
                 "url": urls,
+                "norm_url": norms,
+                "norm_redirect": norm_redirs,
                 "minhash": sigs,
                 "simhash": pd.array(simhashes, dtype="Int64"),
                 "shingles": shingles_out,
                 "n_tokens": pd.array(ntoks, dtype="int32"),
             })
 
-    cols = [key_col, text_col] if key_col != text_col else [key_col]
+    cols = [key_col, text_col]
+    if has_redirect:
+        cols.append("redirect_url")
     return corpus.select(*cols).mapInPandas(compute, schema=SIGNATURE_SCHEMA)

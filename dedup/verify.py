@@ -22,7 +22,6 @@ from collections.abc import Iterator
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, functions as F
-from pyspark.sql.types import DoubleType
 
 from dedup.config import DedupConfig
 
@@ -37,21 +36,6 @@ def cosine_similarity(sig1: np.ndarray, sig2: np.ndarray) -> float:
     return float(np.dot(s1, s2) / (np.linalg.norm(s1) * np.linalg.norm(s2)))
 
 
-@F.pandas_udf(DoubleType())
-def cosine_udf(sig_a: pd.Series, sig_b: pd.Series) -> pd.Series:
-    """Pair-wise reference cosine. Per-pair np.dot (not a fused matrix
-    product) so float64 summation order matches the reference exactly."""
-    out = np.empty(len(sig_a), dtype=np.float64)
-    for i, (a, b) in enumerate(zip(sig_a, sig_b)):
-        if a is None or b is None:
-            out[i] = 0.0
-            continue
-        va = np.asarray(a, dtype=np.float64)
-        vb = np.asarray(b, dtype=np.float64)
-        out[i] = np.dot(va, vb) / (np.linalg.norm(va) * np.linalg.norm(vb))
-    return pd.Series(out)
-
-
 def jaccard_cols(shingles_a, shingles_b):
     """Exact Jaccard on (sorted, distinct) shingle arrays — native expression,
     no Python."""
@@ -61,17 +45,29 @@ def jaccard_cols(shingles_a, shingles_b):
                   ).otherwise(F.lit(0.0))
 
 
+_VERIFIED_SCHEMA = ("a string, b string, match_source string, "
+                    "similarity double, jaccard double, keep boolean")
+
+
 def verify_pairs(pairs: DataFrame, signatures: DataFrame,
                  cfg: DedupConfig) -> DataFrame:
     """(a, b [, match_source]) + signatures -> verified pairs with scores.
 
-    Output: a, b, match_source, similarity (reference scoring), jaccard
-    (exact), keep (boolean decision).
+    Output: a, b, match_source, similarity (reference cosine scoring),
+    jaccard (exact, on the shingle sets), keep (boolean decision).
 
     url_exact pairs keep similarity 1.0 and bypass the threshold, matching
     the reference short-circuit (app/hash_detector.py:263-266, :295-297);
-    Catalyst pushes the match_source filter below the cosine UDF projection
-    so url_exact pairs never pay for signature scoring.
+    they never reach the scoring stage.
+
+    Scoring runs as ONE mapInPandas stage over the natively-joined
+    (pair, sig_a, sig_b) rows: per-pair np.dot on float64 (bit-identical to
+    the reference formula at app/hash_detector.py:153) + exact Jaccard via
+    sorted-array intersection. mapInPandas rather than a pandas_udf column
+    on purpose — Catalyst re-evaluates projected UDF columns under filters
+    (`where(keep)` would chain two ArrowEval stages), while a mapInPandas
+    node is an optimizer barrier, so downstream filters run above the single
+    Python stage.
     """
     if "match_source" not in pairs.columns:
         pairs = pairs.withColumn("match_source", F.lit("lsh"))
@@ -91,16 +87,34 @@ def verify_pairs(pairs: DataFrame, signatures: DataFrame,
         F.lit(True).alias("keep"),
     )
 
-    scored = (
-        pairs.where(F.col("match_source") != "url_exact")
-        .join(sa, "a").join(sb, "b")
-        .withColumn("similarity", cosine_udf(F.col("_sig_a"), F.col("_sig_b")))
-        .withColumn("jaccard", jaccard_cols(F.col("_sh_a"), F.col("_sh_b")))
-    )
-    if cfg.scoring == "jaccard":
-        keep = F.col("jaccard") >= F.lit(cfg.jaccard_threshold)
-    else:
-        keep = F.col("similarity") >= F.lit(cfg.threshold)
-    scored = scored.select("a", "b", "match_source", "similarity", "jaccard",
-                           keep.alias("keep"))
+    joined = (pairs.where(F.col("match_source") != "url_exact")
+              .join(sa, "a").join(sb, "b"))
+
+    scoring, threshold, j_threshold = cfg.scoring, cfg.threshold, cfg.jaccard_threshold
+
+    def score(batches):
+        for pdf in batches:
+            n = len(pdf)
+            sims = np.empty(n, dtype=np.float64)
+            jacs = np.empty(n, dtype=np.float64)
+            for i, (xa, xb, ha, hb) in enumerate(zip(
+                    pdf["_sig_a"], pdf["_sig_b"], pdf["_sh_a"], pdf["_sh_b"])):
+                va = np.asarray(xa, dtype=np.float64)
+                vb = np.asarray(xb, dtype=np.float64)
+                sims[i] = np.dot(va, vb) / (np.linalg.norm(va)
+                                            * np.linalg.norm(vb))
+                ia = np.asarray(ha, dtype=np.int64)
+                ib = np.asarray(hb, dtype=np.int64)
+                inter = np.intersect1d(ia, ib, assume_unique=True).size
+                union = ia.size + ib.size - inter
+                jacs[i] = inter / union if union else 0.0
+            keep = (jacs >= j_threshold if scoring == "jaccard"
+                    else sims >= threshold)
+            yield pd.DataFrame({
+                "a": pdf["a"], "b": pdf["b"],
+                "match_source": pdf["match_source"],
+                "similarity": sims, "jaccard": jacs, "keep": keep,
+            })
+
+    scored = joined.mapInPandas(score, schema=_VERIFIED_SCHEMA)
     return url_exact.unionByName(scored)

@@ -81,7 +81,7 @@ def test_e2e_recall(spark, detector, seed, n_docs):
     # engine pipeline: signatures -> LSH+url pairs -> verify -> cluster
     corpus = spark.createDataFrame(pdf[["url", "text"]])
     sigs = signatures_table(corpus, PARITY_CONFIG).cache()
-    pairs = candidate_pairs(corpus, sigs, PARITY_CONFIG)
+    pairs = candidate_pairs(sigs, PARITY_CONFIG)
     from dedup.verify import verify_pairs
     verified = verify_pairs(pairs, sigs, PARITY_CONFIG)
     edges = verified.where("keep").select("a", "b")
@@ -109,7 +109,7 @@ def test_verified_scores_match_reference(spark, detector):
     texts = dict(zip(pdf["url"], pdf["text"]))
     corpus = spark.createDataFrame(pdf[["url", "text"]])
     sigs = signatures_table(corpus, PARITY_CONFIG).cache()
-    pairs = candidate_pairs(corpus, sigs, PARITY_CONFIG)
+    pairs = candidate_pairs(sigs, PARITY_CONFIG)
     from dedup.verify import verify_pairs
     rows = (verify_pairs(pairs, sigs, PARITY_CONFIG)
             .where("keep and match_source = 'lsh'").collect())
