@@ -61,17 +61,46 @@ def _checksum(edges: DataFrame) -> tuple[int, int]:
     return int(row["n"]), int(row["h"])
 
 
-def connected_components(edges: DataFrame, max_iterations: int = 30) -> DataFrame:
+def connected_components(edges: DataFrame, max_iterations: int = 30,
+                         driver_threshold: int = 2_000_000) -> DataFrame:
     """edges(a, b) -> assignments(url, cluster_id).
 
     cluster_id is the component's minimum vertex id. Only vertices that
     appear in an edge are returned; callers union singleton docs back with
     cluster_id = their own key (see `assign_clusters`).
+
+    Size-gated hybrid: when the distinct edge set fits comfortably on the
+    driver (< driver_threshold), a local union-find answers in milliseconds
+    instead of paying O(log n) shuffle rounds — the right plan whenever dup
+    edges are a sliver of the corpus. Larger edge sets (the 10^12-doc case)
+    take the distributed large-star/small-star path; pass
+    driver_threshold=0 to force it (tests do).
     """
     e = (edges.select(F.col("a").alias("u"), F.col("b").alias("v"))
          .where(F.col("u") != F.col("v")).distinct())
+    spark = edges.sparkSession
+    if driver_threshold > 0:
+        n_edges = e.limit(driver_threshold + 1).count()
+        if n_edges == 0:
+            return spark.createDataFrame([], "url string, cluster_id string")
+        if n_edges <= driver_threshold:
+            parent: dict[str, str] = {}
+
+            def find(x: str) -> str:
+                parent.setdefault(x, x)
+                while parent[x] != x:
+                    parent[x] = parent[parent[x]]
+                    x = parent[x]
+                return x
+
+            for row in e.toLocalIterator():
+                ra, rb = find(row[0]), find(row[1])
+                if ra != rb:
+                    parent[max(ra, rb)] = min(ra, rb)
+            assign = [(v, find(v)) for v in parent]
+            return spark.createDataFrame(assign,
+                                         "url string, cluster_id string")
     if e.isEmpty():
-        spark = edges.sparkSession
         return spark.createDataFrame([], "url string, cluster_id string")
 
     e = e.localCheckpoint(eager=True)

@@ -27,7 +27,7 @@ from urllib.parse import parse_qs, urlparse
 
 import pandas as pd
 from pyspark.sql import functions as F
-from pyspark.sql.types import StringType
+from pyspark.sql.types import ArrayType, StringType
 
 # --- title normalization -----------------------------------------------------
 
@@ -291,6 +291,14 @@ def with_norm_url(df, url_col: str = "url", out_col: str = "norm_url"):
 @F.pandas_udf(StringType())
 def normalize_title_udf(titles: pd.Series) -> pd.Series:
     return titles.map(normalize_title)
+
+
+# NB: module-level pandas_udf return types must be TYPE OBJECTS, not DDL
+# strings — DDL parsing needs an active SparkSession, and this module is
+# imported inside executor workers (no session) when UDF closures unpickle.
+@F.pandas_udf(ArrayType(StringType()))
+def url_variants_udf(urls: pd.Series) -> pd.Series:
+    return urls.map(url_search_variants)
 
 
 def valid_field_col(col):

@@ -178,15 +178,14 @@ def q_exact_dedup_keep_first(spark, sf_dir):
 def q_exact_clusters(spark, sf_dir):
     """Connected components over exact-duplicate edges: engine CC vs the
     SQL truth min(doc_id) per text group (strong CC oracle)."""
+    # mirrors share doc_id with their original: give them distinct vertex
+    # ids; zero-padding makes string-min == numeric-min
     c = docs_as_corpus(spark, sf_dir).select(
-        F.lpad(F.col("doc_id").cast("string"), 12, "0").alias("vid"),
-        F.when(F.col("url").startswith("https://mirror.net/"),
-               F.col("doc_id") + 100000).otherwise(F.col("doc_id"))
-        .alias("row_key"),
+        F.lpad(
+            F.when(F.col("url").startswith("https://mirror.net/"),
+                   F.col("doc_id") + 100000).otherwise(F.col("doc_id"))
+            .cast("string"), 12, "0").alias("vid"),
         "text")
-    # mirrors share doc_id with their original: give them distinct vertex ids
-    c = c.select(F.lpad(F.col("row_key").cast("string"), 12, "0").alias("vid"),
-                 "text")
     groups = c.groupBy("text").agg(F.collect_list("vid").alias("vids"))
     edges = (groups.where(F.size("vids") > 1)
              .select(F.array_min("vids").alias("a"),
@@ -317,6 +316,42 @@ def q_embedding_knn_lsh(spark, sf_dir):
     return pairs.orderBy("a", "b")
 
 
+def q_url_variants(spark, sf_dir):
+    """N4 url search-variant fan-out (compat operator) over deterministic
+    constructed urls — one row per (doc_id, variant)."""
+    from dedup.normalize import url_variants_udf
+    d = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.concat(F.lit("https://www."), "source", F.lit(".example.com/docs/"),
+                 F.col("doc_id").cast("string")).alias("raw"))
+    return (d.select("doc_id", F.explode(F.array_distinct(
+        url_variants_udf("raw"))).alias("variant")))
+
+
+def q_substring_pairs(spark, sf_dir):
+    """Winnowing exact-substring dup pass over the planted-mirror corpus
+    (rows-only: non-SQL-expressible)."""
+    from dedup.substring import substring_pairs
+    c = docs_as_corpus(spark, sf_dir)
+    return substring_pairs(c, PARITY_CONFIG).orderBy("a", "b")
+
+
+def q_media_features(spark, sf_dir):
+    """Multimodal feature extraction over the deterministic synthetic media
+    table (rows-only; codecs stubbed, Spark plumbing real)."""
+    from dedup.multimodal import media_features, synth_media
+    return media_features(synth_media(spark, 60)).select(
+        "url", "media_type", "byte_len", "sha256", "fingerprint")
+
+
+def q_media_dup_pairs(spark, sf_dir):
+    """Media dedup edges: sha256-exact + fingerprint-Hamming near dups
+    (rows-only)."""
+    from dedup.multimodal import media_dup_pairs, media_features, synth_media
+    feats = media_features(synth_media(spark, 60))
+    return media_dup_pairs(feats).orderBy("a", "b")
+
+
 # --- events (generic operator coverage: agg / window / top-k) --------------------
 
 def q_events_agg(spark, sf_dir):
@@ -368,6 +403,10 @@ QUERIES = {
     "lsh_candidate_pairs": q_lsh_candidate_pairs,
     "dup_clusters": q_dup_clusters,
     "simhash_hamming": q_simhash_hamming,
+    "url_variants": q_url_variants,
+    "substring_pairs": q_substring_pairs,
+    "media_features": q_media_features,
+    "media_dup_pairs": q_media_dup_pairs,
     "embedding_knn": q_embedding_knn,
     "embedding_knn_lsh": q_embedding_knn_lsh,
     "events_agg": q_events_agg,
@@ -448,6 +487,14 @@ ORACLE_SQL = {
         "sa.n + sb.n - i.n_intersect AS n_union "
         "FROM inter i JOIN sizes sa ON sa.doc_id = i.a "
         "JOIN sizes sb ON sb.doc_id = i.b WHERE i.n_intersect > 0"),
+    "url_variants": (
+        "WITH base AS (SELECT doc_id, source || '.example.com/docs/' || "
+        "CAST(doc_id AS VARCHAR) AS hp FROM documents) "
+        "SELECT doc_id, v AS variant FROM base, UNNEST(["
+        "'https://' || hp, 'https://' || hp || '/', "
+        "'https://www.' || hp, 'https://www.' || hp || '/', "
+        "'http://' || hp, 'http://' || hp || '/', "
+        "'http://www.' || hp, 'http://www.' || hp || '/', hp]) AS t(v)"),
     "embedding_knn": (
         "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings), "
         "q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 5), "

@@ -39,6 +39,19 @@ def build_session(app_name: str = "dedup-spark",
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # CPU-heavy Arrow stages need many input splits: the 128 MB default
+        # packs a few-hundred-MB corpus into a handful of tasks, starving
+        # cores. 8 MB splits (and an equal open-cost so small files are not
+        # re-packed) keeps scan parallelism >= cores at any corpus size; at
+        # petabyte scale raise via DEDUP_MAX_PARTITION_BYTES.
+        .config("spark.sql.files.maxPartitionBytes",
+                os.environ.get("DEDUP_MAX_PARTITION_BYTES", str(8 * 1024 * 1024)))
+        .config("spark.sql.files.openCostInBytes", str(8 * 1024 * 1024))
+        # verification joins a slim pair table against the wide signatures
+        # table; letting the pair side broadcast (up to 64 MB) keeps the
+        # signature arrays out of the shuffle entirely. AQE still falls back
+        # to sort-merge when runtime sizes exceed this.
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "4096")
         # Python worker pooling: Spark 4.1 leaves the fork-daemon off by

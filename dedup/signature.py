@@ -28,7 +28,6 @@ verification joins shingles back by key (SURVEY §4 "spill-aware").
 
 from __future__ import annotations
 
-import hashlib
 import zlib
 from collections.abc import Iterator
 
@@ -58,15 +57,29 @@ def tokenize(text: str | None) -> list[str]:
 
 def shingle_hashes(words: list[str], shingle_size: int = 3) -> set[int]:
     """CRC32 hashes of word n-grams; texts with < shingle_size words collapse
-    to one whole-text shingle (parity: hash_detector.py:52-79)."""
+    to one whole-text shingle (parity: hash_detector.py:52-79).
+
+    Implementation slices ONE pre-joined byte string by token offsets
+    instead of join()ing every window — identical bytes reach crc32 (the
+    window `" ".join(words[i:i+k])` is exactly the substring of
+    `" ".join(words)` spanning those tokens), ~3x faster per doc."""
     if not words:
         return set()
     if len(words) < shingle_size:
         return {zlib.crc32(" ".join(words).encode()) & 0xFFFFFFFF}
-    return {
-        zlib.crc32(" ".join(words[i:i + shingle_size]).encode()) & 0xFFFFFFFF
-        for i in range(len(words) - shingle_size + 1)
-    }
+    joined = " ".join(words).encode()
+    # byte offsets of each token in the joined encoding
+    starts = np.empty(len(words), dtype=np.int64)
+    pos = 0
+    for i, w in enumerate(words):
+        starts[i] = pos
+        pos += len(w.encode()) + 1
+    ends = np.concatenate([starts[shingle_size:] - 1,
+                           [len(joined)]])  # end of window i = start of
+    view = memoryview(joined)               # token i+k minus the space
+    n = len(words) - shingle_size + 1
+    return {zlib.crc32(view[int(starts[i]):int(ends[i])]) & 0xFFFFFFFF
+            for i in range(n)}
 
 
 def char_shingle_hashes(words: list[str], k: int) -> set[int]:
@@ -98,38 +111,28 @@ def minhash_signature(shingles: np.ndarray, A: np.ndarray, B: np.ndarray) -> np.
     return h.min(axis=1).astype(np.int64)
 
 
-def simhash64(shingle_strings: list[str]) -> int:
-    """64-bit SimHash over shingle strings: blake2b-64 per shingle,
-    bit-wise sign sum, msb-first. Returned as signed int64 (Spark BIGINT)."""
-    if not shingle_strings:
+def simhash64(shingle_hashes_arr: np.ndarray) -> int:
+    """64-bit SimHash over the document's shingle hash set: each 32-bit
+    shingle hash is expanded to 64 bits with the splitmix64 finalizer
+    (fully vectorized — no per-shingle Python), then the classic bit-wise
+    sign sum, msb-first. Returned as signed int64 (Spark BIGINT)."""
+    if shingle_hashes_arr is None or len(shingle_hashes_arr) == 0:
         return 0
-    digests = np.frombuffer(
-        b"".join(hashlib.blake2b(s.encode(), digest_size=8).digest()
-                 for s in shingle_strings),
-        dtype=np.uint8,
-    ).reshape(-1, 8)
-    bits = np.unpackbits(digests, axis=1).astype(np.int32)  # (n, 64) in {0,1}
-    votes = (2 * bits - 1).sum(axis=0)                      # (64,) sign sums
-    out = np.uint64(0)
+    x = np.asarray(shingle_hashes_arr, dtype=np.uint64).copy()
+    # splitmix64 finalizer (public-domain mixing constants)
+    x += np.uint64(0x9E3779B97F4A7C15)
+    x ^= x >> np.uint64(30)
+    x *= np.uint64(0xBF58476D1CE4E5B9)
+    x ^= x >> np.uint64(27)
+    x *= np.uint64(0x94D049BB133111EB)
+    x ^= x >> np.uint64(31)
+    bits = np.unpackbits(
+        x.astype(">u8").view(np.uint8).reshape(-1, 8), axis=1).astype(np.int32)
+    votes = (2 * bits - 1).sum(axis=0)           # (64,) sign sums
+    out = 0
     for v in votes:
-        out = np.uint64(out << np.uint64(1)) | np.uint64(1 if v > 0 else 0)
-    return int(out.astype(np.int64))
-
-
-def doc_shingle_strings(words: list[str], cfg: DedupConfig) -> list[str]:
-    """The shingle *strings* for SimHash (word n-grams or char k-grams)."""
-    if not words:
-        return []
-    if cfg.char_shingles:
-        s = " ".join(words)
-        k = cfg.char_shingle_size
-        if len(s) <= k:
-            return [s]
-        return [s[i:i + k] for i in range(len(s) - k + 1)]
-    if len(words) < cfg.shingle_size:
-        return [" ".join(words)]
-    return [" ".join(words[i:i + cfg.shingle_size])
-            for i in range(len(words) - cfg.shingle_size + 1)]
+        out = (out << 1) | (1 if v > 0 else 0)
+    return int(np.uint64(out).astype(np.int64))
 
 
 def compute_text_signature(text: str | None, A: np.ndarray, B: np.ndarray,
@@ -192,7 +195,7 @@ def signatures_table(corpus, cfg: DedupConfig, text_col: str = "text",
                     sh = shingle_hashes(words, cfg.shingle_size)
                 arr = np.fromiter(sh, dtype=np.uint64, count=len(sh))
                 sigs.append(minhash_signature(arr, A, B))
-                simhashes.append(simhash64(doc_shingle_strings(words, cfg)))
+                simhashes.append(simhash64(arr))
                 shingles_out.append(np.sort(arr).astype(np.int64))
             yield pd.DataFrame({
                 "url": urls,

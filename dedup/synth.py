@@ -147,12 +147,17 @@ def _yt_id(rng: random.Random) -> str:
 
 
 def generate_docs(n_docs: int, seed: int = 42,
-                  hot_frac: float = 0.05) -> list[SynthDoc]:
+                  hot_frac: float = 0.05,
+                  token_scale: float = 1.0) -> list[SynthDoc]:
     """Planted families (FIXTURES.md §1): exact dups, near dups above/below
     the boundary, url-variant dups, YouTube variants, short texts,
     placeholders, unicode, long docs with shared substrings, hot-band
-    boilerplate, unique filler."""
+    boilerplate, unique filler. token_scale multiplies document lengths
+    (bench corpora use > 1 so per-doc compute dominates fixed overheads)."""
     rng = random.Random(seed)
+
+    def sc(n: int) -> int:
+        return max(1, int(n * token_scale))
     docs: list[SynthDoc] = []
     cluster = 0
     i = 0
@@ -164,14 +169,14 @@ def generate_docs(n_docs: int, seed: int = 42,
         hot = rng.random() < hot_frac
 
         if roll < 0.08:  # exact duplicates: same text, k different urls
-            text = _paragraphs(rng, rng.randint(120, 400))
+            text = _paragraphs(rng, rng.randint(sc(120), sc(400)))
             k = rng.randint(2, 4)
             for j in range(k):
                 docs.append(SynthDoc(
                     f"mirror{j}.example.net/copy/{i}", text, lang, cluster))
             cluster += 1
         elif roll < 0.18:  # near duplicates, small edits (should match)
-            text = _paragraphs(rng, rng.randint(150, 500))
+            text = _paragraphs(rng, rng.randint(sc(150), sc(500)))
             docs.append(SynthDoc(f"{base_url}", text, lang, cluster))
             for j in range(rng.randint(1, 3)):
                 near = _edit_tokens(rng, text, rng.uniform(0.01, 0.05))
@@ -180,18 +185,18 @@ def generate_docs(n_docs: int, seed: int = 42,
                     cluster))
             cluster += 1
         elif roll < 0.24:  # near-threshold negatives (moderate edits)
-            text = _paragraphs(rng, rng.randint(150, 400))
+            text = _paragraphs(rng, rng.randint(sc(150), sc(400)))
             docs.append(SynthDoc(base_url, text, lang, -1))
             far = _edit_tokens(rng, text, rng.uniform(0.35, 0.6))
             docs.append(SynthDoc(f"{base_url}-alt", far, lang, -1))
         elif roll < 0.32:  # url-variant duplicates (same text, variant urls)
-            text = _paragraphs(rng, rng.randint(100, 300))
+            text = _paragraphs(rng, rng.randint(sc(100), sc(300)))
             for u in _url_variants(base_url, rng, rng.randint(2, 4)):
                 docs.append(SynthDoc(u, text, lang, cluster))
             cluster += 1
         elif roll < 0.36:  # YouTube variant family
             vid = _yt_id(rng)
-            text = _sentence(rng, rng.randint(30, 80))
+            text = _sentence(rng, rng.randint(sc(30), sc(80)))
             forms = list(_YT_FORMS)
             rng.shuffle(forms)
             for f in forms[:rng.randint(2, 4)]:
@@ -205,25 +210,26 @@ def generate_docs(n_docs: int, seed: int = 42,
                                "a b c d e f", "\t\n"])
             docs.append(SynthDoc(base_url, text, lang, -1))
         elif roll < 0.47:  # long docs sharing a long exact substring only
-            shared = _paragraphs(rng, 250)
+            shared = _paragraphs(rng, sc(250))
             for j in range(2):
-                own = _paragraphs(rng, rng.randint(800, 1200))
-                text = own + "\n" + shared + "\n" + _paragraphs(rng, 300)
+                own = _paragraphs(rng, rng.randint(sc(800), sc(1200)))
+                text = own + "\n" + shared + "\n" + _paragraphs(rng, sc(300))
                 # same substring, low global similarity: cluster only for the
                 # substring pass (tracked separately with negative-2 marker)
                 docs.append(SynthDoc(f"{base_url}-sub{j}", text, lang, -2))
         else:  # unique filler
-            text = _paragraphs(rng, rng.randint(80, 400))
+            text = _paragraphs(rng, rng.randint(sc(80), sc(400)))
             docs.append(SynthDoc(base_url, text, lang, -1))
     return docs[:n_docs]
 
 
 def corpus_pdf(n_docs: int, seed: int = 42, hot_frac: float = 0.05,
-               epoch: int = 1_700_000_000) -> pd.DataFrame:
+               epoch: int = 1_700_000_000,
+               token_scale: float = 1.0) -> pd.DataFrame:
     """pandas frame with the full input_hint schema + ground-truth columns
     (truth_cluster; html embeds text; warc_ts deterministic)."""
     rng = random.Random(seed + 1)
-    docs = generate_docs(n_docs, seed, hot_frac)
+    docs = generate_docs(n_docs, seed, hot_frac, token_scale)
     rows = []
     for k, d in enumerate(docs):
         title = (d.text.split("\n", 1)[0][:60] or "untitled")
@@ -239,10 +245,34 @@ def corpus_pdf(n_docs: int, seed: int = 42, hot_frac: float = 0.05,
 
 
 def write_corpus(spark, path: str, n_docs: int, seed: int = 42,
-                 hot_frac: float = 0.05, partitions: int = 8) -> None:
+                 hot_frac: float = 0.05, partitions: int = 8,
+                 token_scale: float = 1.0) -> None:
     """Materialize the corpus as parquet (Iceberg-shaped schema; this sandbox
     has no iceberg-spark-runtime jar, so plain parquet stands in behind the
-    same schema — SURVEY §1.3)."""
-    pdf = corpus_pdf(n_docs, seed, hot_frac)
-    df = spark.createDataFrame(pdf)
-    df.repartition(partitions, "url").write.mode("overwrite").parquet(path)
+    same schema — SURVEY §1.3). Generation is parallelized across seeds on
+    executors for large n_docs (each shard is independently deterministic)."""
+    if n_docs <= 20_000:
+        pdf = corpus_pdf(n_docs, seed, hot_frac, token_scale=token_scale)
+        df = spark.createDataFrame(pdf)
+        df.repartition(partitions, "url").write.mode("overwrite").parquet(path)
+        return
+    # shard generation across executors: derived seeds, disjoint url spaces
+    n_shards = max(8, partitions)
+    per_shard = (n_docs + n_shards - 1) // n_shards
+    shards = spark.range(n_shards).select("id")
+
+    def gen(batches):
+        for pdf_in in batches:
+            for shard in pdf_in["id"]:
+                sp = corpus_pdf(per_shard, seed + 1000 * (int(shard) + 1),
+                                hot_frac, token_scale=token_scale)
+                # shard-disjoint hosts, preserving each variant family's
+                # internal structure (www./protocol variants still collapse)
+                sp["url"] = sp["url"].str.replace(
+                    ".example.", f".s{int(shard)}.example.", regex=False)
+                yield sp
+
+    schema = ("url string, warc_ts timestamp, html binary, text string, "
+              "lang string, truth_cluster long")
+    shards.mapInPandas(gen, schema=schema) \
+        .repartition(partitions, "url").write.mode("overwrite").parquet(path)

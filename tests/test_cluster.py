@@ -30,12 +30,16 @@ def union_find(edges, vertices=()):
 
 def _check(spark, edges, vertices=()):
     oracle = union_find(edges, vertices)
-    df = spark.createDataFrame(edges, "a string, b string")
-    got = {r["url"]: r["cluster_id"]
-           for r in connected_components(df).collect()}
-    # same partition into components, with min-id representatives
     expect = {v: r for v, r in oracle.items()}
-    assert got == expect
+    df = spark.createDataFrame(edges, "a string, b string")
+    # both execution paths must agree with the oracle: the distributed
+    # large-star/small-star loop (driver_threshold=0) and the size-gated
+    # driver union-find (default)
+    for threshold in (0, 2_000_000):
+        got = {r["url"]: r["cluster_id"]
+               for r in connected_components(
+                   df, driver_threshold=threshold).collect()}
+        assert got == expect, f"mismatch at driver_threshold={threshold}"
 
 
 class TestConnectedComponents:

@@ -1,0 +1,71 @@
+"""Multimodal plumbing: schemas, Arrow batch shapes, deterministic stub
+decode, feature extraction, resize/frame-sample, and media dedup edges."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from dedup.multimodal import (decode_media, media_dup_pairs, media_features,
+                              resize_images, sample_frames, synth_media)
+
+
+class TestDecodeStub:
+    def test_deterministic(self):
+        a = decode_media(b"payload", "image")
+        b = decode_media(b"payload", "image")
+        np.testing.assert_array_equal(a, b)
+        assert a.shape == (64, 64) and a.dtype == np.float32
+
+    def test_shapes(self):
+        assert decode_media(b"x", "audio").shape == (8000,)
+        assert decode_media(b"x", "video").shape == (16, 32, 32)
+
+    def test_unknown_type(self):
+        with pytest.raises(ValueError):
+            decode_media(b"x", "pdf")
+
+
+class TestFeatures:
+    def test_feature_rows(self, spark):
+        media = synth_media(spark, 30)
+        rows = media_features(media).collect()
+        assert len(rows) == media.count()
+        by_url = {r["url"]: r for r in rows}
+        twin, orig = by_url["media://0-twin"], by_url["media://0"]
+        assert twin["sha256"] == orig["sha256"]
+        assert twin["fingerprint"] == orig["fingerprint"]
+        for r in rows:
+            assert len(r["hist"]) == 8
+            assert abs(sum(r["hist"]) - 1.0) < 1e-9
+            assert 0.0 <= r["mean"] <= 1.0
+
+    def test_resize(self, spark):
+        media = synth_media(spark, 12)
+        rows = resize_images(media, 16, 16).collect()
+        n_images = media.where("media_type = 'image'").count()
+        assert len(rows) == n_images
+        for r in rows:
+            assert len(r["pixels"]) == 16 * 16
+
+    def test_frame_sampling(self, spark):
+        media = synth_media(spark, 12)
+        rows = sample_frames(media, every_n=4).collect()
+        n_videos = media.where("media_type = 'video'").count()
+        assert len(rows) == n_videos * 4  # 16 frames / every 4
+        for r in rows:
+            assert len(r["frame"]) == 32 * 32
+            assert r["frame_idx"] % 4 == 0
+
+
+class TestMediaDedup:
+    def test_planted_twins_found(self, spark):
+        media = synth_media(spark, 40)
+        feats = media_features(media).cache()
+        pairs = {(r["a"], r["b"]): r["match_source"]
+                 for r in media_dup_pairs(feats).collect()}
+        planted = [(f"media://{i}", f"media://{i}-twin")
+                   for i in range(0, 40, 7)]
+        for p in planted:
+            key = (min(p), max(p))
+            assert key in pairs, f"missing planted twin pair {key}"

@@ -7,7 +7,8 @@ from __future__ import annotations
 import numpy as np
 
 from dedup.config import PARITY_CONFIG, DedupConfig
-from dedup.signature import signatures_table, simhash64, doc_shingle_strings, tokenize
+from dedup.signature import (char_shingle_hashes, signatures_table, simhash64,
+                             tokenize)
 from dedup.synth import corpus_pdf
 
 
@@ -52,15 +53,18 @@ class TestSignatureStage:
 
 
 class TestSimHash:
+    @staticmethod
+    def _sim(text):
+        from dedup.signature import shingle_hashes
+        sh = shingle_hashes(tokenize(text), 3)
+        return simhash64(np.fromiter(sh, dtype=np.uint64, count=len(sh)))
+
     def test_deterministic_and_locality(self):
-        cfg = PARITY_CONFIG
         t1 = "the quick brown fox jumps over the lazy dog " * 20
         t2 = t1.replace("lazy", "sleepy", 3)
         t3 = "completely different content about mathematics " * 20
-        s1 = simhash64(doc_shingle_strings(tokenize(t1), cfg))
-        s1b = simhash64(doc_shingle_strings(tokenize(t1), cfg))
-        s2 = simhash64(doc_shingle_strings(tokenize(t2), cfg))
-        s3 = simhash64(doc_shingle_strings(tokenize(t3), cfg))
+        s1, s1b = self._sim(t1), self._sim(t1)
+        s2, s3 = self._sim(t2), self._sim(t3)
         assert s1 == s1b
 
         def ham(a, b):
@@ -69,12 +73,16 @@ class TestSimHash:
         assert ham(s1, s2) < ham(s1, s3)
 
     def test_empty(self):
-        assert simhash64([]) == 0
+        assert simhash64(np.array([], dtype=np.uint64)) == 0
 
     def test_char_shingle_mode(self):
-        cfg = DedupConfig(num_hashes=128, char_shingles=True,
-                          lsh_bands=32, lsh_rows=4)
-        strs = doc_shingle_strings(tokenize("hello world again"), cfg)
-        assert all(len(s) == cfg.char_shingle_size for s in strs)
-        short = doc_shingle_strings(tokenize("hi yo"), cfg)
-        assert short == ["hi yo"]
+        import zlib
+        words = tokenize("hello world again and again")
+        k = 9
+        got = char_shingle_hashes(words, k)
+        s = " ".join(words).encode()
+        want = {zlib.crc32(s[i:i + k]) & 0xFFFFFFFF
+                for i in range(len(s) - k + 1)}
+        assert got == want
+        short = char_shingle_hashes(tokenize("hi yo"), 9)
+        assert short == {zlib.crc32(b"hi yo") & 0xFFFFFFFF}
