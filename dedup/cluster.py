@@ -93,7 +93,7 @@ def connected_components(edges: DataFrame, max_iterations: int = 30,
                     x = parent[x]
                 return x
 
-            for row in e.toLocalIterator():
+            for row in e.collect():
                 ra, rb = find(row[0]), find(row[1])
                 if ra != rb:
                     parent[max(ra, rb)] = min(ra, rb)

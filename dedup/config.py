@@ -56,12 +56,12 @@ class DedupConfig:
     # LSH banding: bands * rows must == num_hashes
     lsh_bands: int = 50
     lsh_rows: int = 2
-    # per-(band_id, band_hash) bucket cap: buckets larger than this are
-    # degenerate boilerplate hot bands; they are salted for the join and
-    # pair emission inside one bucket is capped (recall backstop: every dup
-    # pair has b independent chances to collide in a *non*-hot band, plus
-    # the norm_url equi-join).
-    band_bucket_cap: int = 2000
+    # per-(band_id, band_hash) bucket cap: buckets above this emit star
+    # edges (O(n)) instead of all pairs (O(n^2)) — one bucket row expanding
+    # to cap^2/2 pair structs is a single-task straggler, so the cap stays
+    # small; recall backstop: every dup pair has b independent chances to
+    # collide in a non-hot band, plus the norm_url equi-join.
+    band_bucket_cap: int = 256
 
     # SimHash
     simhash_bits: int = 64

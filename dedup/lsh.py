@@ -29,7 +29,7 @@ Scale design (the part that must survive 100 TB):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window, functions as F
+from pyspark.sql import DataFrame, functions as F
 
 from dedup.config import DedupConfig
 
@@ -41,13 +41,15 @@ _PAIR_EXPANSION = (
 
 
 def pairs_within_groups(members: DataFrame, key_cols: list[str],
-                        cap: int, member_col: str = "url") -> DataFrame:
+                        cap: int, member_col: str = "url",
+                        key_out: str | None = None) -> DataFrame:
     """(key..., member) -> (a, b) pairs within each key group, skew-aware.
 
     Groups with <= cap members emit all pairs via native expansion; hot
     groups emit star edges around their min member (connectivity-
-    preserving). Output is NOT deduplicated across keys.
-    """
+    preserving). Output is NOT deduplicated across keys. With `key_out`,
+    the first key column rides along on every pair (callers aggregate it to
+    label pair provenance)."""
     m = members.select(*key_cols, F.col(member_col).alias("url"))
     hot_keys = (m.groupBy(*key_cols).agg(F.count(F.lit(1)).alias("n"))
                 .where(F.col("n") > cap).drop("n")
@@ -58,16 +60,21 @@ def pairs_within_groups(members: DataFrame, key_cols: list[str],
                    .groupBy(*key_cols)
                    .agg(F.sort_array(F.collect_set("url")).alias("us"))
                    .where(F.size("us") > 1))
-    cold_pairs = (cold_groups.select(F.explode(F.expr(_PAIR_EXPANSION)).alias("p"))
-                  .select("p.a", "p.b"))
+    cold_pairs = (cold_groups
+                  .select(*key_cols,
+                          F.explode(F.expr(_PAIR_EXPANSION)).alias("p"))
+                  .select(*key_cols, "p.a", "p.b"))
 
     hot = marked.where(F.col("_hot").isNotNull())
     hot_centers = (hot.groupBy(*key_cols).agg(F.min("url").alias("a")))
     hot_pairs = (hot.join(F.broadcast(hot_centers), key_cols)
                  .where(F.col("url") != F.col("a"))
-                 .select("a", F.col("url").alias("b")))
+                 .select(*key_cols, "a", F.col("url").alias("b")))
 
-    return cold_pairs.unionByName(hot_pairs)
+    out = cold_pairs.unionByName(hot_pairs)
+    if key_out:
+        return out.select(F.col(key_cols[0]).alias(key_out), "a", "b")
+    return out.select("a", "b")
 
 
 def band_buckets(signatures: DataFrame, cfg: DedupConfig) -> DataFrame:
@@ -139,20 +146,46 @@ def simhash_prefilter(pairs: DataFrame, signatures: DataFrame,
     )
 
 
+def unified_group_keys(signatures: DataFrame, cfg: DedupConfig) -> DataFrame:
+    """(url, gk): ALL blocking keys in one scan — LSH band keys
+    ('<band_id>:<band_hash>') for signed documents plus normalized-URL keys
+    ('u:<norm>', exact strings — never hashed, so a url_exact pair can never
+    be a hash collision) for every document incl. signature-less ones."""
+    b, r = cfg.lsh_bands, cfg.lsh_rows
+    band_keys = (
+        f"CASE WHEN minhash IS NOT NULL THEN transform(sequence(0, {b - 1}), "
+        f"i -> concat(i, ':', xxhash64(slice(minhash, i * {r} + 1, {r})))) "
+        "ELSE array() END"
+    )
+    url_keys = (
+        "concat("
+        "CASE WHEN norm_url IS NOT NULL THEN array(concat('u:', norm_url)) "
+        "ELSE array() END, "
+        "CASE WHEN norm_redirect IS NOT NULL THEN "
+        "array(concat('u:', norm_redirect)) ELSE array() END)"
+    )
+    return signatures.select(
+        "url",
+        F.explode(F.expr(f"concat({band_keys}, {url_keys})")).alias("gk"))
+
+
 def candidate_pairs(signatures: DataFrame,
                     cfg: DedupConfig,
                     use_simhash_prefilter: bool = False) -> DataFrame:
-    """Full candidate set: LSH ∪ url_exact, one window dedup pass with
-    url_exact winning on overlap (a url_exact pair scores 1.0 regardless of
-    text, like the reference's short-circuit at app/hash_detector.py:263-266).
-    The window replaces a left-anti join that would re-execute the whole
-    url_exact subplan a second time."""
-    lsh = lsh_candidate_pairs(signatures, cfg)
+    """Full candidate set: LSH ∪ url_exact in ONE key-emission pass — one
+    signatures scan, one grouped pair-expansion shuffle, one labeling
+    aggregation (instead of separate band and url subplans + a dedup
+    window). A pair seen under any 'u:' key is url_exact and wins: it scores
+    1.0 regardless of text, like the reference's short-circuit at
+    app/hash_detector.py:263-266."""
+    keys = unified_group_keys(signatures, cfg)
+    tagged = pairs_within_groups(keys, ["gk"], cfg.band_bucket_cap,
+                                 key_out="gk")
+    pairs = (tagged.groupBy("a", "b")
+             .agg(F.max(F.col("gk").startswith("u:")).alias("_exact"))
+             .select("a", "b",
+                     F.when(F.col("_exact"), F.lit("url_exact"))
+                     .otherwise(F.lit("lsh")).alias("match_source")))
     if use_simhash_prefilter:
-        lsh = simhash_prefilter(lsh, signatures, cfg)
-    exact = url_exact_pairs(signatures)
-    both = exact.unionByName(lsh)
-    w = Window.partitionBy("a", "b").orderBy(
-        (F.col("match_source") == "url_exact").desc())
-    return (both.withColumn("_rn", F.row_number().over(w))
-            .where(F.col("_rn") == 1).drop("_rn"))
+        pairs = simhash_prefilter(pairs, signatures, cfg)
+    return pairs

@@ -316,6 +316,55 @@ def q_embedding_knn_lsh(spark, sf_dir):
     return pairs.orderBy("a", "b")
 
 
+def q_cache_key(spark, sf_dir):
+    """M4 detection-cache key: md5 of the canonical JSON of
+    (title, description, url, threshold) — reused as the engine's
+    idempotency key (reference app/main.py:207-225)."""
+    d = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.trim(F.substring("text", 1, 30)).alias("title"),
+        F.trim(F.substring("text", 31, 60)).alias("description"),
+        F.concat(F.lit("https://x.org/"), F.col("doc_id").cast("string"))
+        .alias("url"))
+    # canonical json.dumps(..., sort_keys=True) layout: keys in order
+    # description < threshold < title < url; threshold constant -> inlined
+    canonical = F.concat(
+        F.lit('{"description": "'), F.col("description"),
+        F.lit('", "threshold": 0.9, "title": "'), F.col("title"),
+        F.lit('", "url": "'), F.col("url"), F.lit('"}'))
+    return d.select("doc_id",
+                    F.md5(F.encode(canonical, "utf-8")).alias("cache_key"))
+
+
+def q_kernel_detect(spark, sf_dir):
+    """T9 per-query kernel over a synthetic candidate pool built from the
+    documents table (rows-only: cosine kernel not SQL-expressible)."""
+    from dedup.kernel import SourceMetadata, find_duplicates
+    d = _docs(spark, sf_dir).where("doc_id < 60").collect()
+    source_text = d[0]["text"]
+    pools = {"title": [
+        {"ref": {"id": f"n{r['doc_id']}"},
+         "properties": {"cclom:title": [r["text"]]}}
+        for r in d
+    ]}
+    from dedup.kernel import candidates_df_from_pools
+    cands = candidates_df_from_pools(spark, pools)
+    dups, _ = find_duplicates(
+        SourceMetadata(title=source_text), cands, threshold=0.8)
+    return dups.select("node_id", "similarity_score", "match_source")
+
+
+def q_doc_fingerprints(spark, sf_dir):
+    """Winnowed rolling-hash document fingerprints (training-pipeline
+    fingerprinting primitive; rows-only)."""
+    from dedup.substring import substring_fingerprints
+    c = docs_as_corpus(spark, sf_dir).where("doc_id < 100")
+    fps = substring_fingerprints(c, PARITY_CONFIG)
+    return (fps.groupBy("url").agg(
+        F.count(F.lit(1)).alias("n_fingerprints"),
+        F.min("fp").alias("min_fp")).orderBy("url"))
+
+
 def q_url_variants(spark, sf_dir):
     """N4 url search-variant fan-out (compat operator) over deterministic
     constructed urls — one row per (doc_id, variant)."""
@@ -403,6 +452,9 @@ QUERIES = {
     "lsh_candidate_pairs": q_lsh_candidate_pairs,
     "dup_clusters": q_dup_clusters,
     "simhash_hamming": q_simhash_hamming,
+    "cache_key": q_cache_key,
+    "kernel_detect": q_kernel_detect,
+    "doc_fingerprints": q_doc_fingerprints,
     "url_variants": q_url_variants,
     "substring_pairs": q_substring_pairs,
     "media_features": q_media_features,
@@ -487,6 +539,11 @@ ORACLE_SQL = {
         "sa.n + sb.n - i.n_intersect AS n_union "
         "FROM inter i JOIN sizes sa ON sa.doc_id = i.a "
         "JOIN sizes sb ON sb.doc_id = i.b WHERE i.n_intersect > 0"),
+    "cache_key": (
+        "SELECT doc_id, md5('{\"description\": \"' || "
+        "trim(substr(text, 31, 60)) || '\", \"threshold\": 0.9, \"title\": \"' || "
+        "trim(substr(text, 1, 30)) || '\", \"url\": \"https://x.org/' || "
+        "CAST(doc_id AS VARCHAR) || '\"}') AS cache_key FROM documents"),
     "url_variants": (
         "WITH base AS (SELECT doc_id, source || '.example.com/docs/' || "
         "CAST(doc_id AS VARCHAR) AS hp FROM documents) "

@@ -152,7 +152,7 @@ def compute_text_signature(text: str | None, A: np.ndarray, B: np.ndarray,
 # --- Spark stage ---------------------------------------------------------------
 
 def signatures_table(corpus, cfg: DedupConfig, text_col: str = "text",
-                     key_col: str = "url"):
+                     key_col: str = "url", keep_shingles: bool | None = None):
     """corpus -> signatures(url, norm_url, norm_redirect, minhash, simhash,
     shingles, n_tokens) — ONE Arrow pass for normalization + tokenize +
     shingle + MinHash + SimHash. Folding norm_url into this mapInPandas
@@ -166,9 +166,16 @@ def signatures_table(corpus, cfg: DedupConfig, text_col: str = "text",
     (the reference scores URL-exact matches without a signature,
     app/hash_detector.py:263-266). Filter `minhash IS NOT NULL` before
     banding.
+
+    Shingle arrays are 10-100x wider than everything else combined and only
+    exact-Jaccard (engine) mode reads them downstream, so they are emitted
+    only when keep_shingles (default: cfg.scoring == "jaccard") — parity
+    pipelines write and shuffle a 10x slimmer table.
     """
     from dedup.normalize import normalize_url
 
+    if keep_shingles is None:
+        keep_shingles = cfg.scoring == "jaccard"
     A, B = load_coeffs(cfg.num_hashes, cfg.seed)
     has_redirect = "redirect_url" in corpus.columns
 
@@ -196,7 +203,10 @@ def signatures_table(corpus, cfg: DedupConfig, text_col: str = "text",
                 arr = np.fromiter(sh, dtype=np.uint64, count=len(sh))
                 sigs.append(minhash_signature(arr, A, B))
                 simhashes.append(simhash64(arr))
-                shingles_out.append(np.sort(arr).astype(np.int64))
+                if keep_shingles:
+                    shingles_out.append(np.sort(arr).astype(np.int64))
+                else:
+                    shingles_out.append(None)
             yield pd.DataFrame({
                 "url": urls,
                 "norm_url": norms,

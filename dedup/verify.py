@@ -71,8 +71,15 @@ def verify_pairs(pairs: DataFrame, signatures: DataFrame,
     """
     if "match_source" not in pairs.columns:
         pairs = pairs.withColumn("match_source", F.lit("lsh"))
-    sig = signatures.select(
-        "url", "minhash", "shingles").where(F.col("minhash").isNotNull())
+    # Parity (cosine) decisions never read the shingle sets, and shingle
+    # arrays are 10-100x wider than the minhash signature — joining them
+    # into every pair row multiplies verify-stage Arrow traffic by the mean
+    # pair degree. Only engine (jaccard) mode pays for them.
+    want_shingles = cfg.scoring == "jaccard"
+    cols = ["url", "minhash"] + (["shingles"] if want_shingles else [])
+    sig = signatures.select(*cols).where(F.col("minhash").isNotNull())
+    if not want_shingles:
+        sig = sig.withColumn("shingles", F.lit(None).cast("array<bigint>"))
     sa = sig.select(F.col("url").alias("a"),
                     F.col("minhash").alias("_sig_a"),
                     F.col("shingles").alias("_sh_a"))
@@ -96,18 +103,19 @@ def verify_pairs(pairs: DataFrame, signatures: DataFrame,
         for pdf in batches:
             n = len(pdf)
             sims = np.empty(n, dtype=np.float64)
-            jacs = np.empty(n, dtype=np.float64)
+            jacs = np.full(n, np.nan, dtype=np.float64)
             for i, (xa, xb, ha, hb) in enumerate(zip(
                     pdf["_sig_a"], pdf["_sig_b"], pdf["_sh_a"], pdf["_sh_b"])):
                 va = np.asarray(xa, dtype=np.float64)
                 vb = np.asarray(xb, dtype=np.float64)
                 sims[i] = np.dot(va, vb) / (np.linalg.norm(va)
                                             * np.linalg.norm(vb))
-                ia = np.asarray(ha, dtype=np.int64)
-                ib = np.asarray(hb, dtype=np.int64)
-                inter = np.intersect1d(ia, ib, assume_unique=True).size
-                union = ia.size + ib.size - inter
-                jacs[i] = inter / union if union else 0.0
+                if ha is not None and hb is not None:
+                    ia = np.asarray(ha, dtype=np.int64)
+                    ib = np.asarray(hb, dtype=np.int64)
+                    inter = np.intersect1d(ia, ib, assume_unique=True).size
+                    union = ia.size + ib.size - inter
+                    jacs[i] = inter / union if union else 0.0
             keep = (jacs >= j_threshold if scoring == "jaccard"
                     else sims >= threshold)
             yield pd.DataFrame({

@@ -1,0 +1,74 @@
+"""M6 enrichment transform + streaming ingest smoke tests."""
+
+from __future__ import annotations
+
+import time
+
+from dedup.config import PARITY_CONFIG
+from dedup.enrich import enrich_from_reference
+
+
+class TestEnrich:
+    def test_fill_missing_only(self, spark):
+        sparse = spark.createDataFrame(
+            [("r1", None, "has description", "https://www.a.com/x/"),
+             ("r2", "string", None, "https://b.com/y"),
+             ("r3", "Known Title", None, None),
+             ("r4", "Full Title", "full description", "https://c.com/z"),
+             ("r5", None, None, "https://nowhere.com/q")],
+            "record_id string, title string, description string, url string")
+        ref = spark.createDataFrame(
+            [("Title A", "Desc A", "http://a.com/x"),
+             ("Title B", "Desc B", "https://b.com/y"),
+             ("known title", "Desc K", "https://k.com/k")],
+            "title string, description string, url string")
+        got = {r["record_id"]: r for r in
+               enrich_from_reference(sparse, ref).collect()}
+
+        # r1: url match fills title, keeps its own description
+        assert got["r1"]["title"] == "Title A"
+        assert got["r1"]["description"] == "has description"
+        assert got["r1"]["enrichment_source"] == "url"
+        # r2: placeholder title counts as missing; url match fills both
+        assert got["r2"]["title"] == "Title B"
+        assert got["r2"]["description"] == "Desc B"
+        # r3: no url -> exact lowercase-title match fills description only
+        assert got["r3"]["title"] == "Known Title"
+        assert got["r3"]["description"] == "Desc K"
+        assert got["r3"]["enrichment_source"] == "title"
+        # r4: complete -> untouched, no source
+        assert got["r4"]["title"] == "Full Title"
+        assert got["r4"]["enrichment_source"] is None
+        # r5: nothing matches -> unchanged nulls
+        assert got["r5"]["title"] is None
+        assert got["r5"]["enrichment_source"] is None
+
+
+class TestStreaming:
+    def test_file_stream_dedup_signatures(self, spark, tmp_path, detector):
+        import numpy as np
+
+        from dedup.streaming import run_file_stream_dedup
+        from dedup.synth import corpus_pdf
+
+        pdf = corpus_pdf(80, seed=31)
+        src = tmp_path / "incoming"
+        src.mkdir()
+        # two drops; second re-delivers the first 20 urls (late duplicates)
+        spark.createDataFrame(
+            pdf[["url", "warc_ts", "html", "text", "lang"]]
+        ).write.mode("overwrite").parquet(str(src))
+        q = run_file_stream_dedup(
+            spark, str(src), str(tmp_path / "ckpt"), str(tmp_path / "out"),
+            PARITY_CONFIG)
+        q.awaitTermination(120)
+        out = spark.read.parquet(str(tmp_path / "out"))
+        n_unique = pdf["url"].nunique()
+        assert out.count() == n_unique
+        # spot-check signature parity through the streaming path
+        row = out.where("minhash is not null").orderBy("url").first()
+        text = pdf.set_index("url").loc[row["url"], "text"]
+        if isinstance(text, str):
+            expect = detector.compute_text_signature(text)
+            np.testing.assert_array_equal(
+                np.array(row["minhash"], dtype=np.float64), expect)

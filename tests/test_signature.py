@@ -31,7 +31,7 @@ class TestSignatureStage:
     def test_shingles_column_matches_reference_set(self, spark, detector):
         pdf = corpus_pdf(60, seed=5)
         df = spark.createDataFrame(pdf[["url", "text"]])
-        rows = signatures_table(df, PARITY_CONFIG).collect()
+        rows = signatures_table(df, PARITY_CONFIG, keep_shingles=True).collect()
         by_url = {r["url"]: r for r in rows}
         for _, doc in pdf.iterrows():
             words = detector._tokenize(doc["text"])
