@@ -80,10 +80,12 @@ def connected_components(edges: DataFrame, max_iterations: int = 30,
          .where(F.col("u") != F.col("v")).distinct())
     spark = edges.sparkSession
     if driver_threshold > 0:
-        n_edges = e.limit(driver_threshold + 1).count()
-        if n_edges == 0:
+        # single scan: pull at most threshold+1 edges; the sentinel row
+        # (if present) sends us down the distributed path
+        sample = e.limit(driver_threshold + 1).collect()
+        if not sample:
             return spark.createDataFrame([], "url string, cluster_id string")
-        if n_edges <= driver_threshold:
+        if len(sample) <= driver_threshold:
             parent: dict[str, str] = {}
 
             def find(x: str) -> str:
@@ -93,7 +95,7 @@ def connected_components(edges: DataFrame, max_iterations: int = 30,
                     x = parent[x]
                 return x
 
-            for row in e.collect():
+            for row in sample:
                 ra, rb = find(row[0]), find(row[1])
                 if ra != rb:
                     parent[max(ra, rb)] = min(ra, rb)

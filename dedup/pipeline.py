@@ -33,12 +33,11 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from dedup.cluster import assign_clusters
 from dedup.config import DedupConfig
-from dedup.extract import extract_text_udf
 from dedup.lsh import candidate_pairs
 from dedup.signature import signatures_table
 from dedup.verify import verify_pairs
 
-STAGES = ("extracted", "signatures", "pairs", "verified", "clusters")
+STAGES = ("signatures", "pairs", "verified", "clusters")
 
 
 @dataclass
@@ -91,17 +90,25 @@ class DedupPipeline:
 
     def _record_metrics(self, stage: str, df: DataFrame,
                         wall_ms: float) -> tuple[int, int]:
-        """Per-partition lineage rows -> metrics table; returns (rows, parts)."""
-        per_part = (
+        """Per-partition lineage rows -> metrics table; returns (rows, parts).
+
+        One scan: the per-partition counts are collected (tiny — one row per
+        partition) and the metrics parquet + totals come from that list, not
+        from re-scanning the stage output."""
+        counts = (
             df.groupBy(F.spark_partition_id().alias("partition_id"))
             .agg(F.count(F.lit(1)).alias("rows"))
-            .withColumn("stage", F.lit(stage))
-            .withColumn("job_key", F.lit(self.job_key))
-            .withColumn("wall_ms", F.lit(float(wall_ms)))
-        )
-        per_part.write.mode("append").parquet(f"{self.workdir}/metrics")
-        agg = per_part.agg(F.sum("rows"), F.count(F.lit(1))).first()
-        return int(agg[0] or 0), int(agg[1] or 0)
+        ).collect()
+        rows = sum(r["rows"] for r in counts)
+        metrics = self.spark.createDataFrame(
+            [(int(r["partition_id"]), int(r["rows"]), stage, self.job_key,
+              float(wall_ms)) for r in counts] or
+            [(0, 0, stage, self.job_key, float(wall_ms))],
+            "partition_id int, rows long, stage string, job_key string, "
+            "wall_ms double")
+        metrics.coalesce(1).write.mode("append").parquet(
+            f"{self.workdir}/metrics")
+        return rows, max(1, len(counts))
 
     def _run_stage(self, stage: str, build) -> DataFrame:
         out = f"{self.workdir}/{stage}"
@@ -120,14 +127,19 @@ class DedupPipeline:
 
     # --- stages -------------------------------------------------------------
     def run(self, corpus: DataFrame) -> dict[str, DataFrame]:
-        """corpus(url, warc_ts, html[, text, lang]) -> table dict."""
-        extracted = self._run_stage(
-            "extracted",
-            lambda: corpus.select(
-                "url", extract_text_udf(F.col("html")).alias("text")),
-        )
+        """corpus(url, warc_ts, html[, text, lang]) -> table dict.
+
+        Extraction and signing are ONE Arrow pass and one materialization;
+        the `extracted` table is a columnar projection of the signatures
+        parquet (text column read without touching the arrays)."""
+        has_html = "html" in corpus.columns
         signatures = self._run_stage(
-            "signatures", lambda: signatures_table(extracted, self.cfg))
+            "signatures",
+            lambda: signatures_table(
+                corpus, self.cfg,
+                extract_html_col="html" if has_html else None,
+                emit_text=True))
+        extracted = signatures.select("url", "text")
         pairs = self._run_stage(
             "pairs",
             lambda: candidate_pairs(

@@ -152,7 +152,9 @@ def compute_text_signature(text: str | None, A: np.ndarray, B: np.ndarray,
 # --- Spark stage ---------------------------------------------------------------
 
 def signatures_table(corpus, cfg: DedupConfig, text_col: str = "text",
-                     key_col: str = "url", keep_shingles: bool | None = None):
+                     key_col: str = "url", keep_shingles: bool | None = None,
+                     extract_html_col: str | None = None,
+                     emit_text: bool = False):
     """corpus -> signatures(url, norm_url, norm_redirect, minhash, simhash,
     shingles, n_tokens) — ONE Arrow pass for normalization + tokenize +
     shingle + MinHash + SimHash. Folding norm_url into this mapInPandas
@@ -171,7 +173,13 @@ def signatures_table(corpus, cfg: DedupConfig, text_col: str = "text",
     exact-Jaccard (engine) mode reads them downstream, so they are emitted
     only when keep_shingles (default: cfg.scoring == "jaccard") — parity
     pipelines write and shuffle a 10x slimmer table.
+
+    With extract_html_col set, HTML-to-text extraction happens INSIDE this
+    same pass (one materialization for extract+normalize+sign instead of
+    two stage round-trips); emit_text additionally writes the extracted
+    text column, which columnar projection serves as the `extracted` table.
     """
+    from dedup.extract import extract_text
     from dedup.normalize import normalize_url
 
     if keep_shingles is None:
@@ -183,9 +191,16 @@ def signatures_table(corpus, cfg: DedupConfig, text_col: str = "text",
         for pdf in batches:
             redirects = (pdf["redirect_url"] if has_redirect
                          else pd.Series([None] * len(pdf)))
+            if extract_html_col is not None:
+                texts = pdf[extract_html_col].map(extract_text)
+            else:
+                texts = pdf[text_col]
+            out_texts = []
             urls, norms, norm_redirs = [], [], []
             sigs, simhashes, shingles_out, ntoks = [], [], [], []
-            for url, text, redir in zip(pdf[key_col], pdf[text_col], redirects):
+            for url, text, redir in zip(pdf[key_col], texts, redirects):
+                if emit_text:
+                    out_texts.append(text)
                 urls.append(url)
                 norms.append(normalize_url(url))
                 norm_redirs.append(normalize_url(redir) if redir else None)
@@ -207,7 +222,7 @@ def signatures_table(corpus, cfg: DedupConfig, text_col: str = "text",
                     shingles_out.append(np.sort(arr).astype(np.int64))
                 else:
                     shingles_out.append(None)
-            yield pd.DataFrame({
+            out = {
                 "url": urls,
                 "norm_url": norms,
                 "norm_redirect": norm_redirs,
@@ -215,9 +230,14 @@ def signatures_table(corpus, cfg: DedupConfig, text_col: str = "text",
                 "simhash": pd.array(simhashes, dtype="Int64"),
                 "shingles": shingles_out,
                 "n_tokens": pd.array(ntoks, dtype="int32"),
-            })
+            }
+            if emit_text:
+                out["text"] = out_texts
+            yield pd.DataFrame(out)
 
-    cols = [key_col, text_col]
+    cols = [key_col,
+            extract_html_col if extract_html_col is not None else text_col]
     if has_redirect:
         cols.append("redirect_url")
-    return corpus.select(*cols).mapInPandas(compute, schema=SIGNATURE_SCHEMA)
+    schema = SIGNATURE_SCHEMA + (", text string" if emit_text else "")
+    return corpus.select(*cols).mapInPandas(compute, schema=schema)

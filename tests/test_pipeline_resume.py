@@ -45,7 +45,7 @@ class TestResume:
         p2 = DedupPipeline(spark, wd, PARITY_CONFIG)
         tables = p2.run(corpus_df)
         skipped = {s.name for s in p2.stage_infos if s.skipped}
-        assert skipped == {"extracted", "signatures"}
+        assert skipped == {"signatures"}
         assert _clusters(tables) == expect
 
     def test_config_change_invalidates(self, spark, corpus_df, tmp_path):
@@ -61,8 +61,7 @@ class TestResume:
         tables = dedupe_corpus(spark, corpus_df, wd, PARITY_CONFIG)
         m = tables["metrics"]
         stages = {r["stage"] for r in m.select("stage").distinct().collect()}
-        assert stages == {"extracted", "signatures", "pairs", "verified",
-                          "clusters"}
+        assert stages == {"signatures", "pairs", "verified", "clusters"}
         # per-partition rows sum to stage totals
         import json
         from pathlib import Path
