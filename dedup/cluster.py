@@ -62,7 +62,7 @@ def _checksum(edges: DataFrame) -> tuple[int, int]:
 
 
 def connected_components(edges: DataFrame, max_iterations: int = 30,
-                         driver_threshold: int = 2_000_000) -> DataFrame:
+                         driver_threshold: int = 200_000) -> DataFrame:
     """edges(a, b) -> assignments(url, cluster_id).
 
     cluster_id is the component's minimum vertex id. Only vertices that
@@ -72,8 +72,10 @@ def connected_components(edges: DataFrame, max_iterations: int = 30,
     Size-gated hybrid: when the distinct edge set fits comfortably on the
     driver (< driver_threshold), a local union-find answers in milliseconds
     instead of paying O(log n) shuffle rounds — the right plan whenever dup
-    edges are a sliver of the corpus. Larger edge sets (the 10^12-doc case)
-    take the distributed large-star/small-star path; pass
+    edges are a sliver of the corpus. The default gate is 200k edges: with
+    web-scale 2 KB URLs that bounds the collect at ~1 GB of driver heap
+    worst-case (typical URLs ~100 B → ~40 MB). Larger edge sets (the
+    10^12-doc case) take the distributed large-star/small-star path; pass
     driver_threshold=0 to force it (tests do).
     """
     e = (edges.select(F.col("a").alias("u"), F.col("b").alias("v"))

@@ -92,6 +92,21 @@ class DedupConfig:
         return hashlib.md5(payload.encode()).hexdigest()
 
 
+def with_num_hashes(cfg: DedupConfig, num_hashes: int) -> DedupConfig:
+    """Return cfg with a different permutation count AND a consistent band/row
+    split (bands * rows == num_hashes is a __post_init__ invariant, so a bare
+    dataclasses.replace(cfg, num_hashes=N) raises for any N off the preset).
+    Keeps cfg.lsh_rows when it divides N, else falls back to the largest
+    divisor of N that is <= the current row width."""
+    from dataclasses import replace
+
+    rows = cfg.lsh_rows
+    while rows > 1 and num_hashes % rows != 0:
+        rows -= 1
+    return replace(cfg, num_hashes=num_hashes,
+                   lsh_rows=rows, lsh_bands=num_hashes // rows)
+
+
 # Engine preset from the north-star spec: 128 perms, k-char shingles, SimHash.
 ENGINE_CONFIG = DedupConfig(
     num_hashes=128, char_shingles=True, lsh_bands=32, lsh_rows=4,

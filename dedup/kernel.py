@@ -196,6 +196,65 @@ def find_duplicates(source: SourceMetadata, candidates: DataFrame,
     return duplicates, field_max
 
 
+def dedupe_one(signatures: DataFrame, url: str,
+               cfg: DedupConfig | None = None) -> DataFrame:
+    """Per-key corpus query — the reference's `/detect/hash/by-node`
+    (app/main.py:499-531) against the corpus signatures table: point-lookup
+    the source row, restrict candidates to documents sharing any LSH band
+    key or normalized-URL key with it (the band-key semi-join replaces the
+    reference's remote candidate search, SURVEY §3.4), score with the
+    reference cosine kernel, and exclude the source itself
+    (app/wlo_client.py:377-381 semantics).
+
+    Returns (node_url, similarity, match_source) for candidates that are
+    url_exact or score >= threshold, similarity rounded to 4 dp like the
+    reference boundary (app/hash_detector.py:303).
+
+    Scale shape: the source's ~b+2 keys are computed driver-side from the
+    single collected row (band hashes via the same xxHash64 the executors
+    use) and pushed into a key-list filter over the exploded key table —
+    one scan, no join against the full signatures table carries arrays. At
+    production scale the exploded (url, gk) table is a persisted inverted
+    index and this becomes an index lookup + key semi-join.
+    """
+    from dedup.local_oracle import xxh64_long_array
+    from dedup.lsh import unified_group_keys
+    from dedup.verify import verify_pairs
+
+    cfg = cfg or DedupConfig()
+    src_rows = signatures.where(F.col("url") == url).collect()
+    if not src_rows:
+        return signatures.sparkSession.createDataFrame(
+            [], "node_url string, similarity double, match_source string")
+    src = src_rows[0]
+
+    src_keys: list[str] = []
+    if src["minhash"] is not None:
+        b, r = cfg.lsh_bands, cfg.lsh_rows
+        mh = src["minhash"]
+        for i in range(b):
+            src_keys.append(f"{i}:{xxh64_long_array(mh[i * r:(i + 1) * r])}")
+    url_keys = {f"u:{n}" for n in (src["norm_url"], src["norm_redirect"])
+                if n is not None}
+    src_keys.extend(sorted(url_keys))
+
+    cands = (unified_group_keys(signatures, cfg)
+             .where(F.col("gk").isin(src_keys))
+             .where(F.col("url") != url)
+             .groupBy("url")
+             .agg(F.max(F.col("gk").startswith("u:")).alias("_exact")))
+    pairs = cands.select(
+        F.lit(url).alias("a"), F.col("url").alias("b"),
+        F.when(F.col("_exact"), F.lit("url_exact"))
+        .otherwise(F.lit("lsh")).alias("match_source"))
+    verified = verify_pairs(pairs, signatures, cfg).where("keep")
+    return (verified.select(
+        F.col("b").alias("node_url"),
+        F.round("similarity", 4).alias("similarity"),
+        "match_source")
+        .orderBy(F.desc("similarity"), F.asc("node_url")))
+
+
 def candidates_df_from_pools(spark, pools: dict[str, list[dict]]) -> DataFrame:
     """Build the candidate DataFrame from the reference's candidate-pool
     shape (Dict[search_field, List[node-dict]], app/wlo_client.py:243) —

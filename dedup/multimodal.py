@@ -185,8 +185,12 @@ def media_dup_pairs(features: DataFrame, hamming_max: int = 6) -> DataFrame:
                    <= hamming_max)
             .select("a", "b")
             .withColumn("match_source", F.lit("media_near")))
+    # a byte-identical pair is both exact AND near (same fingerprint) —
+    # min() makes 'media_exact' win deterministically (dropDuplicates would
+    # keep an arbitrary one of the two labels)
     return (exact.unionByName(near)
-            .dropDuplicates(["a", "b"]))
+            .groupBy("a", "b")
+            .agg(F.min("match_source").alias("match_source")))
 
 
 def synth_media(spark, n: int, seed: int = 42) -> DataFrame:

@@ -222,12 +222,14 @@ def q_ngram_jaccard_pairs(spark, sf_dir):
 # --- signature / LSH / cluster pipeline (rows-only checks) ----------------------
 
 def q_minhash_signatures(spark, sf_dir):
-    """T3/T5: parity MinHash signatures (non-SQL-expressible; rows-only)."""
+    """T3/T5: parity MinHash signatures. Oracle: VALUES fixture frozen from
+    the independent single-node implementation (dedup/local_oracle.py via
+    tools/gen_oracle_fixtures.py)."""
     c = docs_as_corpus(spark, sf_dir)
     s = signatures_table(c, PARITY_CONFIG)
     return s.select("url",
-                    F.size("minhash").alias("sig_len"),
-                    "n_tokens",
+                    F.size("minhash").cast("bigint").alias("sig_len"),
+                    F.col("n_tokens").cast("bigint").alias("n_tokens"),
                     F.get("minhash", 0).alias("sig0"),
                     "simhash")
 
@@ -250,7 +252,8 @@ def q_dup_clusters(spark, sf_dir):
 
 
 def q_simhash_hamming(spark, sf_dir):
-    """SimHash fingerprints + Hamming distance to doc 0 (rows-only)."""
+    """SimHash fingerprints + Hamming distance to the first doc by url
+    order. Oracle: VALUES fixture from the single-node implementation."""
     c = docs_as_corpus(spark, sf_dir).where(~F.col("url").startswith(
         "https://mirror.net/"))
     s = signatures_table(c, PARITY_CONFIG).where("simhash is not null")
@@ -259,7 +262,7 @@ def q_simhash_hamming(spark, sf_dir):
         "simhash", "ref_simhash")))
         .select("url", "simhash",
                 F.bit_count(F.col("simhash").bitwiseXOR(F.col("ref_simhash")))
-                .alias("hamming")))
+                .cast("bigint").alias("hamming")))
 
 
 # --- embeddings ------------------------------------------------------------------
@@ -285,35 +288,76 @@ def q_embedding_knn(spark, sf_dir):
                     F.round("cos", 6).alias("cos_sim")))
 
 
+# Multi-table random-hyperplane LSH parameters (ANN scale path). b tables of
+# r bits each: a near pair only needs ALL r bits equal in ONE of the b tables,
+# so recall grows with b while r keeps buckets small (2^r codes per table).
+ANN_LSH_TABLES = 8
+ANN_LSH_BITS = 12
+ANN_LSH_SEED = 42
+ANN_COS_MIN = 0.2
+ANN_BUCKET_CAP = 256
+
+
+def ann_hyperplanes(dim: int = 64) -> np.ndarray:
+    """Deterministic (tables*bits, dim) hyperplane matrix — shared by the
+    Spark path and the single-node oracle."""
+    rng = np.random.RandomState(ANN_LSH_SEED)
+    return rng.randn(ANN_LSH_TABLES * ANN_LSH_BITS, dim)
+
+
+def ann_bucket_codes(M: np.ndarray, planes: np.ndarray) -> np.ndarray:
+    """(n, dim) float64 -> (n, tables) int64 bucket codes. One matmul for all
+    tables; bit i of table t = sign of plane t*r+i."""
+    bits = (M @ planes.T) > 0  # (n, tables*bits)
+    codes = np.zeros((M.shape[0], ANN_LSH_TABLES), dtype=np.int64)
+    for t in range(ANN_LSH_TABLES):
+        for i in range(ANN_LSH_BITS):
+            codes[:, t] = (codes[:, t] << 1) | bits[:, t * ANN_LSH_BITS + i]
+    return codes
+
+
 def q_embedding_knn_lsh(spark, sf_dir):
-    """Scale-path ANN: random-hyperplane LSH bucketing then exact rerank
-    within buckets (rows-only; engine extra)."""
+    """Scale-path ANN: multi-table random-hyperplane LSH (b tables x r bits)
+    -> skew-aware grouped pair emission (dedup/lsh.pairs_within_groups: all
+    pairs for buckets <= cap, star edges above — never a bucket self-join)
+    -> exact cosine rerank on the surviving slim pair set. At 100x data the
+    emitted-pair count stays O(sum min(bucket, cap)^2 / bucket) per table
+    instead of the O(n^2/2^r) a single-code self-join degrades to."""
+    from dedup.lsh import pairs_within_groups
     e = _emb(spark, sf_dir).select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v"))
-    rng = np.random.RandomState(42)
-    planes = rng.randn(8, 64)
+    planes = ann_hyperplanes()
 
-    @F.pandas_udf("long")
-    def bucket_udf(vs: pd.Series) -> pd.Series:
-        M = np.stack(vs.to_numpy())
-        bits = (M @ planes.T) > 0
-        out = np.zeros(len(vs), dtype=np.int64)
-        for i in range(8):
-            out = (out << 1) | bits[:, i].astype(np.int64)
-        return pd.Series(out)
+    @F.pandas_udf("array<long>")
+    def codes_udf(vs: pd.Series) -> pd.Series:
+        M = np.stack(vs.to_numpy()).astype(np.float64, copy=False)
+        codes = ann_bucket_codes(M, planes)
+        return pd.Series(list(codes))
 
-    b = e.withColumn("bucket", bucket_udf("v"))
-    left = b.select(F.col("vec_id").alias("a"), F.col("v").alias("va"), "bucket")
-    right = b.select(F.col("vec_id").alias("b"), F.col("v").alias("vb"), "bucket")
+    # slim (member, table_id, code) rows ride the shuffle — vectors stay home
+    buckets = (e.select(F.col("vec_id").cast("string").alias("url"),
+                        F.posexplode(codes_udf("v"))
+                        .alias("table_id", "code")))
+    raw = (pairs_within_groups(buckets, ["table_id", "code"], ANN_BUCKET_CAP)
+           .select(F.col("a").cast("bigint").alias("_x"),
+                   F.col("b").cast("bigint").alias("_y")))
+    # pairs_within_groups canonicalizes in STRING order ('10' < '2');
+    # re-canonicalize numerically before dedup
+    pairs = (raw.select(F.least("_x", "_y").alias("a"),
+                        F.greatest("_x", "_y").alias("b"))
+             .dropDuplicates(["a", "b"]))
+    # exact rerank: join vectors back by key, native fold cosine
+    va = e.select(F.col("vec_id").alias("a"), F.col("v").alias("va"))
+    vb = e.select(F.col("vec_id").alias("b"), F.col("v").alias("vb"))
     dot = F.expr("aggregate(zip_with(va, vb, (x, y) -> x * y), "
                  "cast(0.0 as double), (acc, x) -> acc + x)")
     norm = ("sqrt(aggregate(transform({0}, x -> x * x), cast(0.0 as double), "
             "(acc, x) -> acc + x))")
     cos = dot / (F.expr(norm.format("va")) * F.expr(norm.format("vb")))
-    pairs = (left.join(right, "bucket").where(F.col("a") < F.col("b"))
-             .select("a", "b", F.round(cos, 6).alias("cos_sim"))
-             .where("cos_sim > 0.2"))
-    return pairs.orderBy("a", "b")
+    return (pairs.join(va, "a").join(vb, "b")
+            .select("a", "b", F.round(cos, 6).alias("cos_sim"))
+            .where(f"cos_sim > {ANN_COS_MIN}")
+            .orderBy("a", "b"))
 
 
 def q_cache_key(spark, sf_dir):
@@ -340,7 +384,7 @@ def q_kernel_detect(spark, sf_dir):
     """T9 per-query kernel over a synthetic candidate pool built from the
     documents table (rows-only: cosine kernel not SQL-expressible)."""
     from dedup.kernel import SourceMetadata, find_duplicates
-    d = _docs(spark, sf_dir).where("doc_id < 60").collect()
+    d = _docs(spark, sf_dir).where("doc_id < 60").orderBy("doc_id").collect()
     source_text = d[0]["text"]
     pools = {"title": [
         {"ref": {"id": f"n{r['doc_id']}"},
@@ -382,7 +426,10 @@ def q_substring_pairs(spark, sf_dir):
     (rows-only: non-SQL-expressible)."""
     from dedup.substring import substring_pairs
     c = docs_as_corpus(spark, sf_dir)
-    return substring_pairs(c, PARITY_CONFIG).orderBy("a", "b")
+    return (substring_pairs(c, PARITY_CONFIG)
+            .select("a", "b", F.col("substr_len").cast("bigint")
+                    .alias("substr_len"), "match_source")
+            .orderBy("a", "b"))
 
 
 def q_media_features(spark, sf_dir):
@@ -390,7 +437,8 @@ def q_media_features(spark, sf_dir):
     table (rows-only; codecs stubbed, Spark plumbing real)."""
     from dedup.multimodal import media_features, synth_media
     return media_features(synth_media(spark, 60)).select(
-        "url", "media_type", "byte_len", "sha256", "fingerprint")
+        "url", "media_type", F.col("byte_len").cast("bigint").alias("byte_len"),
+        "sha256", "fingerprint")
 
 
 def q_media_dup_pairs(spark, sf_dir):
@@ -399,6 +447,53 @@ def q_media_dup_pairs(spark, sf_dir):
     from dedup.multimodal import media_dup_pairs, media_features, synth_media
     feats = media_features(synth_media(spark, 60))
     return media_dup_pairs(feats).orderBy("a", "b")
+
+
+def q_extract_roundtrip(spark, sf_dir):
+    """§2.6 HTML->text extraction under the driver's oracle: wrap each
+    document's text in an HTML page IN-QUERY (nav/footer boilerplate +
+    entity escaping), run the extraction UDF over the BINARY html, and
+    return the recovered text. Oracle: SELECT doc_id, text — byte-identical
+    recovery is the north-star invariant (SURVEY §5.4)."""
+    from dedup.extract import extract_text_udf
+    esc = F.col("text")
+    for raw, ent in (("&", "&amp;"), ("<", "&lt;"), (">", "&gt;")):
+        esc = F.replace(esc, F.lit(raw), F.lit(ent))
+    html = F.concat(
+        F.lit("<html><head><title>t</title><style>p{}</style></head>"
+              "<body><nav><a href=\"/\">MENU</a></nav><article><p>"),
+        esc,
+        F.lit("</p></article><footer>FOOTER &copy; 2026</footer>"
+              "</body></html>"))
+    d = _docs(spark, sf_dir).select(
+        "doc_id", F.encode(html, "utf-8").alias("html"))
+    return d.select("doc_id", extract_text_udf("html").alias("extracted"))
+
+
+def q_lsh_planted_recall(spark, sf_dir):
+    """LSH recall gate with a REAL SQL oracle: every identical-text pair in
+    the planted-mirror corpus must appear among the LSH candidates
+    (identical text -> identical signature -> all b bands collide). The
+    query inner-joins the candidate set with the ground truth; a recall
+    miss drops a row and fails the driver's row/hash compare."""
+    c = docs_as_corpus(spark, sf_dir)
+    s = signatures_table(c, PARITY_CONFIG)
+    pairs = candidate_pairs(s, PARITY_CONFIG).select("a", "b")
+    left = c.select(F.col("url").alias("a"), F.col("text").alias("_t"))
+    right = c.select(F.col("url").alias("b"), F.col("text").alias("_t"))
+    gt = (left.join(right, "_t").where(F.col("a") < F.col("b"))
+          .select("a", "b"))
+    return gt.join(pairs, ["a", "b"]).orderBy("a", "b")
+
+
+def q_dedupe_one_url(spark, sf_dir):
+    """M8 per-key query (`/detect/hash/by-node` analog): duplicates of ONE
+    url against the corpus signatures table via band-key semi-join,
+    excluding self. Oracle: VALUES fixture from the single-node kernel."""
+    from dedup.kernel import dedupe_one
+    c = docs_as_corpus(spark, sf_dir)
+    s = signatures_table(c, PARITY_CONFIG)
+    return dedupe_one(s, "https://mirror.net/copy/7", PARITY_CONFIG)
 
 
 # --- events (generic operator coverage: agg / window / top-k) --------------------
@@ -461,10 +556,61 @@ QUERIES = {
     "media_dup_pairs": q_media_dup_pairs,
     "embedding_knn": q_embedding_knn,
     "embedding_knn_lsh": q_embedding_knn_lsh,
+    "extract_roundtrip": q_extract_roundtrip,
+    "lsh_planted_recall": q_lsh_planted_recall,
+    "dedupe_one_url": q_dedupe_one_url,
     "events_agg": q_events_agg,
     "events_user_rank": q_events_user_rank,
     "events_hourly_topk": q_events_hourly_topk,
 }
+
+# --- fixture oracles --------------------------------------------------------------
+# Non-SQL-expressible queries (hash pipeline: signatures, LSH candidates,
+# clusters, winnowing fingerprints, ANN buckets) get VALUES-fixture oracles:
+# expected rows frozen at sf0.01 by an INDEPENDENT single-node implementation
+# (dedup/local_oracle.py; generator: tools/gen_oracle_fixtures.py). The
+# driver's DuckDB side then checks the distributed plans reproduce them
+# exactly. Inputs are deterministic (seeded synth + pinned config), so the
+# expected outputs are constants.
+
+import json as _json
+from pathlib import Path as _Path
+
+_FIXTURE_PATH = _Path(__file__).parent / "fixtures" / "oracle_sf001.json"
+
+
+def _sql_lit(v, typ: str) -> str:
+    if v is None:
+        return "NULL"
+    if typ == "VARCHAR":
+        return "'" + str(v).replace("'", "''") + "'"
+    if typ == "DOUBLE":
+        return repr(float(v))
+    return str(int(v))
+
+
+def fixture_oracle_sql() -> dict[str, str]:
+    """name -> VALUES-based oracle SQL for every frozen fixture query."""
+    if not _FIXTURE_PATH.exists():
+        return {}
+    fixtures = _json.loads(_FIXTURE_PATH.read_text())
+    out = {}
+    for name, data in fixtures.items():
+        cols = data["columns"]
+        rows = data["rows"]
+        names = ", ".join(n for n, _ in cols)
+        casts = ", ".join(f"CAST({n} AS {t}) AS {n}" for n, t in cols)
+        if not rows:
+            out[name] = (f"SELECT {casts} FROM (VALUES ("
+                         + ", ".join("NULL" for _ in cols) + f")) AS t({names}) WHERE 1=0")
+            continue
+        vals = ", ".join(
+            "(" + ", ".join(_sql_lit(v, t) for v, (_, t) in zip(row, cols)) + ")"
+            for row in rows)
+        out[name] = (
+            "SELECT " + casts + " FROM (VALUES " + vals + ") AS t(" + names + ")")
+    return out
+
 
 _DUCK_TOKENS = "list_filter(string_split_regex(lower(text), '\\s+'), x -> len(x) > 1)"
 
@@ -516,7 +662,7 @@ ORACLE_SQL = {
         _CORPUS_CTE +
         ", ranked AS (SELECT url, doc_id, row_number() OVER "
         "(PARTITION BY md5(text) ORDER BY url) AS rn FROM corpus) "
-        "SELECT count(*) AS n_kept, sum(doc_id) AS sum_doc_id "
+        "SELECT count(*) AS n_kept, CAST(sum(doc_id) AS BIGINT) AS sum_doc_id "
         "FROM ranked WHERE rn = 1"),
     "exact_clusters": (
         _CORPUS_CTE +
@@ -576,4 +722,17 @@ ORACLE_SQL = {
     "events_hourly_topk": (
         "SELECT date_trunc('hour', ts) AS hour, count(*) AS n_events "
         "FROM events GROUP BY 1 ORDER BY n_events DESC, hour ASC LIMIT 10"),
+    "extract_roundtrip": (
+        # the synthetic documents' text is single-line and pre-trimmed, so
+        # the extractor's line-strip/empty-drop normalization is the identity
+        # and byte-identical recovery means: extracted == text
+        "SELECT doc_id, text AS extracted FROM documents"),
+    "lsh_planted_recall": (
+        _CORPUS_CTE +
+        " SELECT c1.url AS a, c2.url AS b FROM corpus c1 JOIN corpus c2 "
+        "ON c1.text = c2.text AND c1.url < c2.url"),
 }
+
+# VALUES-fixture oracles for the non-SQL-expressible queries (see
+# fixture_oracle_sql docstring); regenerate with tools/gen_oracle_fixtures.py
+ORACLE_SQL.update(fixture_oracle_sql())

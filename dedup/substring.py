@@ -115,7 +115,12 @@ def substring_pairs(corpus: DataFrame, cfg: DedupConfig,
     fingerprint, keeping pairs with a common substring >= cfg.substring_min_len.
     """
     fps = substring_fingerprints(corpus, cfg, k)
-    # candidate pairs + ONE witness fingerprint position per pair per side
+    # candidate pairs + ALL shared witness fingerprint positions per pair
+    # (bounded to max_witnesses after a deterministic sort — F.first() here
+    # would make the chosen witness, and hence substr_len, run-dependent,
+    # and extending a single witness could miss the longest shared run when
+    # a pair shares both a short and a long substring).
+    max_witnesses = 32
     cand = (pairs_within_groups(fps, ["fp"], group_cap)
             .join(fps.select(F.col("url").alias("a"), "fp",
                              F.col("pos").alias("pos_a")), ["a"])
@@ -123,8 +128,9 @@ def substring_pairs(corpus: DataFrame, cfg: DedupConfig,
                              F.col("pos").alias("pos_b")), ["b"])
             .where(F.col("fp") == F.col("fp_b"))
             .groupBy("a", "b")
-            .agg(F.first("pos_a").alias("pos_a"),
-                 F.first("pos_b").alias("pos_b")))
+            .agg(F.slice(
+                F.sort_array(F.collect_set(F.struct("pos_a", "pos_b"))),
+                1, max_witnesses).alias("witnesses")))
 
     texts_a = corpus.select(F.col("url").alias("a"), F.col("text").alias("_ta"))
     texts_b = corpus.select(F.col("url").alias("b"), F.col("text").alias("_tb"))
@@ -132,21 +138,26 @@ def substring_pairs(corpus: DataFrame, cfg: DedupConfig,
     min_len = cfg.substring_min_len
 
     def verify(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        def extend(ba: bytes, bb: bytes, pa: int, pb: int) -> int:
+            lo = 0
+            while pa - lo > 0 and pb - lo > 0 and ba[pa - lo - 1] == bb[pb - lo - 1]:
+                lo += 1
+            hi = 0
+            while (pa + k + hi < len(ba) and pb + k + hi < len(bb)
+                   and ba[pa + k + hi] == bb[pb + k + hi]):
+                hi += 1
+            return lo + k + hi
+
         for pdf in batches:
             lens = []
-            for ta, tb, pa, pb in zip(pdf["_ta"], pdf["_tb"],
-                                      pdf["pos_a"], pdf["pos_b"]):
+            for ta, tb, wits in zip(pdf["_ta"], pdf["_tb"], pdf["witnesses"]):
                 ba = ta.encode("utf-8", errors="replace")
                 bb = tb.encode("utf-8", errors="replace")
-                pa, pb = int(pa), int(pb)
-                lo = 0
-                while pa - lo > 0 and pb - lo > 0 and ba[pa - lo - 1] == bb[pb - lo - 1]:
-                    lo += 1
-                hi = 0
-                while (pa + k + hi < len(ba) and pb + k + hi < len(bb)
-                       and ba[pa + k + hi] == bb[pb + k + hi]):
-                    hi += 1
-                lens.append(lo + k + hi)
+                best = 0
+                for w in wits:
+                    best = max(best, extend(ba, bb,
+                                            int(w["pos_a"]), int(w["pos_b"])))
+                lens.append(best)
             out = pd.DataFrame({
                 "a": pdf["a"], "b": pdf["b"],
                 "substr_len": pd.array(lens, dtype="int32"),

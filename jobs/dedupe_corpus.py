@@ -42,7 +42,7 @@ def main() -> None:
 
     from dataclasses import replace
 
-    from dedup.config import ENGINE_CONFIG, PARITY_CONFIG
+    from dedup.config import ENGINE_CONFIG, PARITY_CONFIG, with_num_hashes
     from dedup.pipeline import dedupe_corpus
     from dedup.session import build_session
 
@@ -50,7 +50,10 @@ def main() -> None:
     if args.threshold is not None:
         cfg = replace(cfg, threshold=args.threshold)
     if args.num_hashes is not None:
-        cfg = replace(cfg, num_hashes=args.num_hashes)
+        # re-derives a consistent lsh_bands/lsh_rows split — a bare
+        # replace(num_hashes=N) violates the bands*rows == num_hashes
+        # invariant and raises in __post_init__
+        cfg = with_num_hashes(cfg, args.num_hashes)
 
     spark = build_session("dedupe-corpus", master=args.master)
     if args.synth:

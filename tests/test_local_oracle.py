@@ -1,0 +1,109 @@
+"""Parity tests for the single-node oracle engine (dedup/local_oracle.py):
+the fixture generator is only a valid oracle if its primitives match Spark
+bit-for-bit — xxhash64, grouped pair emission, HALF_UP rounding — and if the
+committed fixture file is reproducible from the current code."""
+
+from __future__ import annotations
+
+import json
+import random
+from pathlib import Path
+
+import pytest
+from pyspark.sql import functions as F
+
+from dedup import local_oracle as lo
+from dedup.config import PARITY_CONFIG
+from dedup.lsh import pairs_within_groups
+
+FIXTURE = Path(__file__).parent.parent / "dedup" / "fixtures" / "oracle_sf001.json"
+
+
+def test_xxh64_long_array_matches_spark(spark):
+    random.seed(11)
+    rows = [(i, [random.randint(0, 2**34) for _ in range(random.randint(1, 7))])
+            for i in range(100)]
+    df = spark.createDataFrame(rows, "id int, arr array<bigint>")
+    got = {r["id"]: r["h"]
+           for r in df.select("id", F.xxhash64("arr").alias("h")).collect()}
+    for i, arr in rows:
+        assert lo.xxh64_long_array(arr) == got[i]
+
+
+def test_pairs_from_groups_matches_spark(spark):
+    random.seed(13)
+    rows = [(f"k{random.randint(0, 9)}", f"m{random.randint(0, 30):03d}")
+            for _ in range(300)]
+    rows += [("hot", f"h{i:03d}") for i in range(40)] * 2  # 80 rows > cap
+    cap = 20
+    df = spark.createDataFrame(rows, "gk string, url string")
+    spark_pairs = {(r["a"], r["b"]) for r in
+                   pairs_within_groups(df, ["gk"], cap).collect()}
+    local_pairs = {(a, b) for _, a, b in lo.pairs_from_groups(rows, cap)}
+    assert local_pairs == spark_pairs
+    # hot group produced star edges only: center h000, 39 edges
+    hot = {(a, b) for a, b in local_pairs if a.startswith("h")}
+    assert hot == {("h000", f"h{i:03d}") for i in range(1, 40)}
+
+
+def test_round_half_up_matches_spark_round(spark):
+    random.seed(17)
+    vals = [random.uniform(-1, 1) for _ in range(300)]
+    vals += [0.1234565, 0.9999995, -0.1234565, 1.0, 0.0]
+    df = spark.createDataFrame([(i, v) for i, v in enumerate(vals)],
+                               "id int, x double")
+    got = {r["id"]: r["r"] for r in
+           df.select("id", F.round("x", 6).alias("r")).collect()}
+    for i, v in enumerate(vals):
+        assert lo.round_half_up(v, 6) == got[i], (v, lo.round_half_up(v, 6), got[i])
+
+
+def test_fixture_file_exists_and_covers_expected_queries():
+    data = json.loads(FIXTURE.read_text())
+    assert set(data) == {
+        "minhash_signatures", "lsh_candidate_pairs", "dup_clusters",
+        "simhash_hamming", "doc_fingerprints", "substring_pairs",
+        "media_features", "media_dup_pairs", "embedding_knn_lsh",
+        "dedupe_one_url", "kernel_detect",
+    }
+    for name, d in data.items():
+        assert d["rows"], f"{name} fixture is empty"
+        width = len(d["columns"])
+        assert all(len(r) == width for r in d["rows"])
+
+
+def test_fixture_signatures_reproducible():
+    """Spot-check: the committed fixture rows equal a fresh local
+    computation (guards against stale fixtures after config changes)."""
+    import duckdb
+    data = json.loads(FIXTURE.read_text())
+    con = duckdb.connect()
+    df = con.execute(
+        "SELECT doc_id, text, source FROM "
+        "'/root/testdata/sf0.01/documents.parquet' "
+        "ORDER BY doc_id LIMIT 5").df()
+    rows = [(f"https://www.{s}.example.com/docs/{d}", t)
+            for d, t, s in zip(df["doc_id"], df["text"], df["source"])]
+    sigs = lo.local_signatures(rows, PARITY_CONFIG)
+    by_url = {r[0]: r for r in data["minhash_signatures"]["rows"]}
+    for s in sigs:
+        url, sig_len, n_tokens, sig0, simhash = by_url[s.url]
+        assert sig_len == len(s.minhash)
+        assert n_tokens == s.n_tokens
+        assert sig0 == int(s.minhash[0])
+        assert simhash == s.simhash
+
+
+def test_local_verify_threshold_semantics():
+    cfg = PARITY_CONFIG
+    sigs = lo.local_signatures(
+        [("u1", "alpha beta gamma delta epsilon zeta"),
+         ("u2", "alpha beta gamma delta epsilon zeta"),
+         ("u3", "totally different words entirely here now")], cfg)
+    verified = lo.local_verify(
+        [("u1", "u2", "lsh"), ("u1", "u3", "lsh"), ("u2", "u3", "url_exact")],
+        sigs, cfg)
+    by_pair = {(a, b): (sim, keep) for a, b, _, sim, _, keep in verified}
+    assert by_pair[("u1", "u2")] == (1.0, True)
+    assert by_pair[("u2", "u3")] == (1.0, True)  # url_exact bypass
+    assert not by_pair[("u1", "u3")][1] or by_pair[("u1", "u3")][0] >= 0.9

@@ -1,0 +1,250 @@
+"""Freeze VALUES-fixture oracles for the non-SQL-expressible driver queries.
+
+Computes, at sf0.01, the expected output of every hash-pipeline query with
+the INDEPENDENT single-node implementation in dedup/local_oracle.py (pure
+Python/numpy — no Spark execution anywhere in the computation), plus the
+reference's own kernel for `kernel_detect`, and writes them to
+dedup/fixtures/oracle_sf001.json. dedup/queries.fixture_oracle_sql() turns
+the file into DuckDB `SELECT ... FROM (VALUES ...)` oracle SQL.
+
+Usage:
+    python tools/gen_oracle_fixtures.py [--sf-dir /root/testdata/sf0.01]
+                                        [--check]
+
+--check additionally spins up a local SparkSession, runs each corresponding
+Spark query, and asserts set-equality with the frozen fixture (catches any
+single-node/distributed divergence before the driver does).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import types
+from pathlib import Path
+
+import duckdb
+import numpy as np
+
+REPO = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO))
+
+from dedup import local_oracle as lo  # noqa: E402
+from dedup.config import PARITY_CONFIG  # noqa: E402
+
+OUT_PATH = REPO / "dedup" / "fixtures" / "oracle_sf001.json"
+REFERENCE_PATH = "/root/reference"
+
+
+def corpus_rows(sf_dir: str) -> list[tuple[str, str, int]]:
+    """(url, text, doc_id) rows — same construction as
+    dedup.queries.docs_as_corpus (planted mirrors for doc_id < 50)."""
+    con = duckdb.connect()
+    df = con.execute(
+        f"SELECT doc_id, text, source FROM '{sf_dir}/documents.parquet' "
+        "ORDER BY doc_id").df()
+    rows = []
+    for doc_id, text, source in zip(df["doc_id"], df["text"], df["source"]):
+        rows.append((f"https://www.{source}.example.com/docs/{doc_id}",
+                     text, int(doc_id)))
+    for doc_id, text, source in zip(df["doc_id"], df["text"], df["source"]):
+        if int(doc_id) < 50:
+            rows.append((f"https://mirror.net/copy/{doc_id}", text,
+                         int(doc_id)))
+    return rows
+
+
+def gen_fixtures(sf_dir: str) -> dict:
+    cfg = PARITY_CONFIG
+    rows = corpus_rows(sf_dir)
+    sigs = lo.local_signatures([(u, t) for u, t, _ in rows], cfg)
+    fixtures: dict[str, dict] = {}
+
+    # --- minhash_signatures
+    fixtures["minhash_signatures"] = {
+        "columns": [["url", "VARCHAR"], ["sig_len", "BIGINT"],
+                    ["n_tokens", "BIGINT"], ["sig0", "BIGINT"],
+                    ["simhash", "BIGINT"]],
+        "rows": [[s.url,
+                  len(s.minhash) if s.minhash is not None else None,
+                  s.n_tokens,
+                  int(s.minhash[0]) if s.minhash is not None else None,
+                  s.simhash]
+                 for s in sigs],
+    }
+
+    # --- lsh_candidate_pairs
+    pairs = lo.local_candidate_pairs(sigs, cfg)
+    fixtures["lsh_candidate_pairs"] = {
+        "columns": [["a", "VARCHAR"], ["b", "VARCHAR"],
+                    ["match_source", "VARCHAR"]],
+        "rows": [list(p) for p in sorted(pairs)],
+    }
+
+    # --- dup_clusters (full pipeline: verify + union-find)
+    verified = lo.local_verify(pairs, sigs, cfg)
+    keep_edges = [(a, b) for a, b, _, _, _, keep in verified if keep]
+    assign = lo.union_find_clusters([s.url for s in sigs], keep_edges)
+    fixtures["dup_clusters"] = {
+        "columns": [["url", "VARCHAR"], ["cluster_id", "VARCHAR"]],
+        "rows": [list(t) for t in assign],
+    }
+
+    # --- simhash_hamming (non-mirror docs, distance to first url)
+    plain = sorted((s for s in sigs
+                    if not s.url.startswith("https://mirror.net/")
+                    and s.simhash is not None), key=lambda s: s.url)
+    ref_sim = plain[0].simhash
+    fixtures["simhash_hamming"] = {
+        "columns": [["url", "VARCHAR"], ["simhash", "BIGINT"],
+                    ["hamming", "BIGINT"]],
+        "rows": [[s.url, s.simhash,
+                  bin((s.simhash ^ ref_sim) & lo._M64).count("1")]
+                 for s in plain],
+    }
+
+    # --- doc_fingerprints (corpus doc_id < 100, grouped per url)
+    sub_rows = [(u, t) for u, t, d in rows if d < 100]
+    fps = lo.local_substring_fingerprints(sub_rows, cfg, k=64)
+    agg: dict[str, list[int]] = {}
+    for url, fp, _ in fps:
+        cur = agg.setdefault(url, [0, fp])
+        cur[0] += 1
+        cur[1] = min(cur[1], fp)
+    fixtures["doc_fingerprints"] = {
+        "columns": [["url", "VARCHAR"], ["n_fingerprints", "BIGINT"],
+                    ["min_fp", "BIGINT"]],
+        "rows": [[u, n, m] for u, (n, m) in sorted(agg.items())],
+    }
+
+    # --- substring_pairs (full corpus)
+    sp = lo.local_substring_pairs([(u, t) for u, t, _ in rows], cfg)
+    fixtures["substring_pairs"] = {
+        "columns": [["a", "VARCHAR"], ["b", "VARCHAR"],
+                    ["substr_len", "BIGINT"], ["match_source", "VARCHAR"]],
+        "rows": [list(t) for t in sp],
+    }
+
+    # --- media_features / media_dup_pairs (synthetic media table, n=60)
+    items = lo.local_media_items(60)
+    feats = lo.local_media_features(items)
+    fixtures["media_features"] = {
+        "columns": [["url", "VARCHAR"], ["media_type", "VARCHAR"],
+                    ["byte_len", "BIGINT"], ["sha256", "VARCHAR"],
+                    ["fingerprint", "BIGINT"]],
+        "rows": [list(t) for t in feats],
+    }
+    fixtures["media_dup_pairs"] = {
+        "columns": [["a", "VARCHAR"], ["b", "VARCHAR"],
+                    ["match_source", "VARCHAR"]],
+        "rows": [list(t) for t in lo.local_media_dup_pairs(feats)],
+    }
+
+    # --- embedding_knn_lsh
+    from dedup.queries import ANN_BUCKET_CAP, ANN_COS_MIN
+    con = duckdb.connect()
+    emb = con.execute(
+        f"SELECT vec_id, embedding FROM '{sf_dir}/embeddings.parquet' "
+        "ORDER BY vec_id").fetchall()
+    ann = lo.local_ann_pairs(emb, ANN_COS_MIN, ANN_BUCKET_CAP)
+    fixtures["embedding_knn_lsh"] = {
+        "columns": [["a", "BIGINT"], ["b", "BIGINT"], ["cos_sim", "DOUBLE"]],
+        "rows": [list(t) for t in ann],
+    }
+
+    # --- dedupe_one_url
+    one = lo.local_dedupe_one(sigs, "https://mirror.net/copy/7", cfg)
+    fixtures["dedupe_one_url"] = {
+        "columns": [["node_url", "VARCHAR"], ["similarity", "DOUBLE"],
+                    ["match_source", "VARCHAR"]],
+        "rows": [list(t) for t in one],
+    }
+
+    # --- kernel_detect: oracle is the REFERENCE's own kernel output
+    fixtures["kernel_detect"] = {
+        "columns": [["node_id", "VARCHAR"], ["similarity_score", "DOUBLE"],
+                    ["match_source", "VARCHAR"]],
+        "rows": kernel_detect_expected(sf_dir),
+    }
+    return fixtures
+
+
+def kernel_detect_expected(sf_dir: str) -> list[list]:
+    """Run the reference's find_duplicates in-process on the same pool the
+    Spark query builds (documents doc_id < 60, title field, threshold 0.8)."""
+    if "loguru" not in sys.modules:
+        stub = types.ModuleType("loguru")
+
+        class _Noop:
+            def __getattr__(self, name):
+                return lambda *a, **k: None
+
+        stub.logger = _Noop()
+        sys.modules["loguru"] = stub
+    if REFERENCE_PATH not in sys.path:
+        sys.path.insert(0, REFERENCE_PATH)
+    import app.hash_detector as hash_detector
+    import app.models as models
+
+    con = duckdb.connect()
+    df = con.execute(
+        f"SELECT doc_id, text FROM '{sf_dir}/documents.parquet' "
+        "WHERE doc_id < 60 ORDER BY doc_id").df()
+    pools = {"title": [
+        {"ref": {"id": f"n{int(doc_id)}"},
+         "properties": {"cclom:title": [text]}}
+        for doc_id, text in zip(df["doc_id"], df["text"])
+    ]}
+    detector = hash_detector.MinHashDetector(num_hashes=100, seed=42)
+    meta = models.ContentMetadata(title=df["text"].iloc[0])
+    dups, _ = detector.find_duplicates(meta, pools, threshold=0.8)
+    return [[d.node_id, d.similarity_score, d.match_source] for d in dups]
+
+
+def check_against_spark(fixtures: dict, sf_dir: str) -> int:
+    """Run each Spark query and compare row SETS with the fixture."""
+    from dedup.session import build_session
+    sys.path.insert(0, str(REPO))
+    import __spark_entry__ as entry
+
+    spark = build_session("fixture-check", master="local[8]",
+                          shuffle_partitions=8)
+    queries = entry.queries()
+    failures = 0
+    for name, data in fixtures.items():
+        got = queries[name](spark, sf_dir).collect()
+        got_set = {tuple(r) for r in got}
+        exp_set = {tuple(r) for r in data["rows"]}
+        if got_set != exp_set:
+            failures += 1
+            extra = list(got_set - exp_set)[:3]
+            missing = list(exp_set - got_set)[:3]
+            print(f"MISMATCH {name}: spark={len(got_set)} fixture="
+                  f"{len(exp_set)}\n  spark-only: {extra}\n"
+                  f"  fixture-only: {missing}")
+        else:
+            print(f"ok {name}: {len(exp_set)} rows")
+    spark.stop()
+    return failures
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf-dir", default="/root/testdata/sf0.01")
+    ap.add_argument("--check", action="store_true")
+    args = ap.parse_args()
+
+    fixtures = gen_fixtures(args.sf_dir)
+    OUT_PATH.write_text(json.dumps(fixtures, indent=0))
+    total = sum(len(d["rows"]) for d in fixtures.values())
+    print(f"wrote {OUT_PATH} ({len(fixtures)} queries, {total} rows)")
+    if args.check:
+        failures = check_against_spark(fixtures, args.sf_dir)
+        if failures:
+            sys.exit(f"{failures} fixture/spark mismatches")
+        print("all fixtures match the Spark queries")
+
+
+if __name__ == "__main__":
+    main()
