@@ -92,6 +92,15 @@ class DedupConfig:
         return hashlib.md5(payload.encode()).hexdigest()
 
 
+def get_effective_max_candidates(requested: int | None,
+                                 limit: int = REF_MAX_CANDIDATES) -> int:
+    """M5 candidate-cap clamp (reference app/main.py:228-248): None ->
+    the configured limit; otherwise min(requested, limit)."""
+    if requested is None:
+        return limit
+    return min(requested, limit)
+
+
 def with_num_hashes(cfg: DedupConfig, num_hashes: int) -> DedupConfig:
     """Return cfg with a different permutation count AND a consistent band/row
     split (bands * rows == num_hashes is a __post_init__ invariant, so a bare

@@ -196,6 +196,25 @@ def find_duplicates(source: SourceMetadata, candidates: DataFrame,
     return duplicates, field_max
 
 
+def build_candidate_stats(search_info: DataFrame,
+                          field_max: DataFrame) -> DataFrame:
+    """M3 stats assembly (reference app/main.py:178-204): per-field search
+    stats with search_value truncated to 80 chars and normalized_value to
+    50, left-joined with the kernel's per-field max similarity (T9e).
+
+    search_info columns: search_field, search_value, normalized_value,
+    candidates_found. Output adds max_similarity (null when the field
+    produced no scored candidates — the reference omits the key)."""
+    truncated = search_info.select(
+        "search_field",
+        F.substring("search_value", 1, 80).alias("search_value"),
+        F.substring("normalized_value", 1, 50).alias("normalized_value"),
+        F.col("candidates_found").cast("int").alias("candidates_found"))
+    return truncated.join(
+        field_max.select("search_field", "max_similarity"),
+        "search_field", "left")
+
+
 def dedupe_one(signatures: DataFrame, url: str,
                cfg: DedupConfig | None = None) -> DataFrame:
     """Per-key corpus query — the reference's `/detect/hash/by-node`
@@ -217,7 +236,7 @@ def dedupe_one(signatures: DataFrame, url: str,
     production scale the exploded (url, gk) table is a persisted inverted
     index and this becomes an index lookup + key semi-join.
     """
-    from dedup.local_oracle import xxh64_long_array
+    from dedup.local_oracle import xxh64_band_key
     from dedup.lsh import unified_group_keys
     from dedup.verify import verify_pairs
 
@@ -228,21 +247,21 @@ def dedupe_one(signatures: DataFrame, url: str,
             [], "node_url string, similarity double, match_source string")
     src = src_rows[0]
 
-    src_keys: list[str] = []
+    band_keys: list[int] = []
     if src["minhash"] is not None:
         b, r = cfg.lsh_bands, cfg.lsh_rows
         mh = src["minhash"]
-        for i in range(b):
-            src_keys.append(f"{i}:{xxh64_long_array(mh[i * r:(i + 1) * r])}")
-    url_keys = {f"u:{n}" for n in (src["norm_url"], src["norm_redirect"])
-                if n is not None}
-    src_keys.extend(sorted(url_keys))
+        band_keys = [xxh64_band_key(i, mh[i * r:(i + 1) * r])
+                     for i in range(b)]
+    url_keys = sorted({n for n in (src["norm_url"], src["norm_redirect"])
+                       if n is not None})
 
     cands = (unified_group_keys(signatures, cfg)
-             .where(F.col("gk").isin(src_keys))
+             .where(F.col("gk_band").isin(band_keys)
+                    | F.col("gk_url").isin(url_keys))
              .where(F.col("url") != url)
              .groupBy("url")
-             .agg(F.max(F.col("gk").startswith("u:")).alias("_exact")))
+             .agg(F.max(F.col("gk_url").isNotNull()).alias("_exact")))
     pairs = cands.select(
         F.lit(url).alias("a"), F.col("url").alias("b"),
         F.when(F.col("_exact"), F.lit("url_exact"))

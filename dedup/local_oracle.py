@@ -68,11 +68,34 @@ def _signed64(x: int) -> int:
     return x - (1 << 64) if x >= (1 << 63) else x
 
 
+def xxh64_int(value: int, seed: int) -> int:
+    """xxHash64 of one 32-bit integer (4-byte input) — Spark's hash of an
+    INT column/argument."""
+    h = (seed + _P5 + 4) & _M64
+    h ^= ((value & 0xFFFFFFFF) * _P1) & _M64
+    h = (_rotl(h, 23) * _P2 + _P3) & _M64
+    h ^= h >> 33
+    h = h * _P2 & _M64
+    h ^= h >> 29
+    h = h * _P3 & _M64
+    h ^= h >> 32
+    return h
+
+
 def xxh64_long_array(values, seed: int = 42) -> int:
     """Spark `xxhash64(array<bigint>)`: fold elements through xxh64_long.
     Returns the SIGNED 64-bit value Spark prints/concats."""
     h = seed
     for v in values:
+        h = xxh64_long(int(v) & _M64, h)
+    return _signed64(h)
+
+
+def xxh64_band_key(band_id: int, band_slice, seed: int = 42) -> int:
+    """Spark `xxhash64(band_id INT, slice ARRAY<BIGINT>)` — the engine's
+    unified band key (dedup/lsh.unified_group_keys)."""
+    h = xxh64_int(band_id, seed)
+    for v in band_slice:
         h = xxh64_long(int(v) & _M64, h)
     return _signed64(h)
 
@@ -147,18 +170,20 @@ def pairs_from_groups(member_rows, cap: int):
 
 
 def unified_keys(sigs: list[DocSig], cfg: DedupConfig):
-    """(url, gk) rows — same key space as dedup/lsh.unified_group_keys:
-    '<band_id>:<xxhash64(band slice)>' for signed docs plus 'u:<norm>'."""
+    """(url, gk) rows — same key space as dedup/lsh.unified_group_keys.
+    gk is ('b', xxhash64(band_id, slice)) for band keys and ('u', norm)
+    for exact normalized-URL keys (mirroring the engine's two nullable
+    key columns)."""
     b, r = cfg.lsh_bands, cfg.lsh_rows
     for s in sigs:
         if s.minhash is not None:
             for i in range(b):
                 band = s.minhash[i * r:(i + 1) * r]
-                yield s.url, f"{i}:{xxh64_long_array(band)}"
+                yield s.url, ("b", xxh64_band_key(i, band))
         if s.norm_url is not None:
-            yield s.url, f"u:{s.norm_url}"
+            yield s.url, ("u", s.norm_url)
         if s.norm_redirect is not None:
-            yield s.url, f"u:{s.norm_redirect}"
+            yield s.url, ("u", s.norm_redirect)
 
 
 def local_candidate_pairs(sigs: list[DocSig],
@@ -169,7 +194,7 @@ def local_candidate_pairs(sigs: list[DocSig],
             ((gk, url) for url, gk in unified_keys(sigs, cfg)),
             cfg.band_bucket_cap):
         key = (a, b)
-        exact[key] = exact.get(key, False) or gk.startswith("u:")
+        exact[key] = exact.get(key, False) or gk[0] == "u"
     return [(a, b, "url_exact" if ex else "lsh")
             for (a, b), ex in exact.items()]
 
@@ -240,14 +265,13 @@ def local_dedupe_one(sigs: list[DocSig], url: str, cfg: DedupConfig):
     if src.minhash is not None:
         b, r = cfg.lsh_bands, cfg.lsh_rows
         for i in range(b):
-            src_keys.add(f"{i}:{xxh64_long_array(src.minhash[i * r:(i + 1) * r])}")
-    src_url_keys = {f"u:{n}" for n in (src.norm_url, src.norm_redirect) if n}
-    src_keys |= src_url_keys
+            src_keys.add(("b", xxh64_band_key(i, src.minhash[i * r:(i + 1) * r])))
+    src_keys |= {("u", n) for n in (src.norm_url, src.norm_redirect) if n}
 
     cands: dict[str, bool] = {}
     for u, gk in unified_keys(sigs, cfg):
         if u != url and gk in src_keys:
-            cands[u] = cands.get(u, False) or gk.startswith("u:")
+            cands[u] = cands.get(u, False) or gk[0] == "u"
     out = []
     for u, is_exact in cands.items():
         if is_exact:

@@ -40,21 +40,44 @@ _PAIR_EXPANSION = (
 )
 
 
+def _join_on_keys(big: DataFrame, small: DataFrame, key_cols: list[str],
+                  how: str) -> DataFrame:
+    """Broadcast-join `small` onto `big` by key_cols with NULL-SAFE equality
+    (a USING join never matches null keys; the unified key table carries
+    exactly-one-of (gk_band, gk_url), so every row has a null key column)."""
+    sm = small.select(*[F.col(k).alias(f"__k_{k}") for k in key_cols],
+                      *[c for c in small.columns if c not in key_cols])
+    cond = None
+    for k in key_cols:
+        c = F.col(k).eqNullSafe(F.col(f"__k_{k}"))
+        cond = c if cond is None else cond & c
+    return big.join(F.broadcast(sm), cond, how).drop(
+        *[f"__k_{k}" for k in key_cols])
+
+
 def pairs_within_groups(members: DataFrame, key_cols: list[str],
                         cap: int, member_col: str = "url",
-                        key_out: str | None = None) -> DataFrame:
+                        keep_keys: bool = False) -> DataFrame:
     """(key..., member) -> (a, b) pairs within each key group, skew-aware.
 
     Groups with <= cap members emit all pairs via native expansion; hot
     groups emit star edges around their min member (connectivity-
-    preserving). Output is NOT deduplicated across keys. With `key_out`,
-    the first key column rides along on every pair (callers aggregate it to
-    label pair provenance)."""
+    preserving). Output is NOT deduplicated across keys. With `keep_keys`,
+    the key columns ride along on every pair (callers aggregate them to
+    label pair provenance). Null key values form their own groups (null-safe
+    joins throughout).
+
+    Shuffle budget: two exchanges, deliberately asymmetric — the hot-key
+    pre-pass shuffles only (key, partial-count) pairs after map-side
+    combine (no member strings), and the main collect_set aggregation
+    shuffles the raw (key, member) rows once. Forcing both onto one
+    repartition exchange was measured WORSE: exchange reuse does not fire
+    across the agg/join branches, so the raw table would shuffle twice."""
     m = members.select(*key_cols, F.col(member_col).alias("url"))
     hot_keys = (m.groupBy(*key_cols).agg(F.count(F.lit(1)).alias("n"))
                 .where(F.col("n") > cap).drop("n")
                 .withColumn("_hot", F.lit(True)))
-    marked = m.join(F.broadcast(hot_keys), key_cols, "left")
+    marked = _join_on_keys(m, hot_keys, key_cols, "left")
 
     cold_groups = (marked.where(F.col("_hot").isNull())
                    .groupBy(*key_cols)
@@ -65,66 +88,16 @@ def pairs_within_groups(members: DataFrame, key_cols: list[str],
                           F.explode(F.expr(_PAIR_EXPANSION)).alias("p"))
                   .select(*key_cols, "p.a", "p.b"))
 
-    hot = marked.where(F.col("_hot").isNotNull())
-    hot_centers = (hot.groupBy(*key_cols).agg(F.min("url").alias("a")))
-    hot_pairs = (hot.join(F.broadcast(hot_centers), key_cols)
+    hot = marked.where(F.col("_hot").isNotNull()).drop("_hot")
+    hot_centers = hot.groupBy(*key_cols).agg(F.min("url").alias("a"))
+    hot_pairs = (_join_on_keys(hot, hot_centers, key_cols, "inner")
                  .where(F.col("url") != F.col("a"))
                  .select(*key_cols, "a", F.col("url").alias("b")))
 
     out = cold_pairs.unionByName(hot_pairs)
-    if key_out:
-        return out.select(F.col(key_cols[0]).alias(key_out), "a", "b")
+    if keep_keys:
+        return out.select(*key_cols, "a", "b")
     return out.select("a", "b")
-
-
-def band_buckets(signatures: DataFrame, cfg: DedupConfig) -> DataFrame:
-    """signatures -> (url, band_id, band_hash), one row per band.
-
-    Null signatures (degenerate docs) are excluded — the reference likewise
-    skips candidates whose signature is None (app/hash_detector.py:280-281).
-    """
-    b, r = cfg.lsh_bands, cfg.lsh_rows
-    bands = F.expr(
-        f"transform(sequence(0, {b - 1}), i -> xxhash64(slice(minhash, i * {r} + 1, {r})))"
-    )
-    return (
-        signatures
-        .where(F.col("minhash").isNotNull())
-        .select("url", F.posexplode(bands).alias("band_id", "band_hash"))
-    )
-
-
-def lsh_candidate_pairs(signatures: DataFrame, cfg: DedupConfig) -> DataFrame:
-    """Candidate pairs (a, b, match_source='lsh'), a < b, deduplicated
-    across bands."""
-    buckets = band_buckets(signatures, cfg)
-    return (pairs_within_groups(buckets, ["band_id", "band_hash"],
-                                cfg.band_bucket_cap)
-            .dropDuplicates(["a", "b"])
-            .withColumn("match_source", F.lit("lsh")))
-
-
-def url_exact_pairs(signatures: DataFrame,
-                    cap: int = 100_000) -> DataFrame:
-    """(a, b, match_source='url_exact'): documents whose normalized URLs
-    collide (parity: app/hash_detector.py:249-266 — URL-exact matches score
-    1.0 and bypass the similarity threshold).
-
-    Keys come straight off the signatures table (norm_url + norm_redirect,
-    computed in the single Arrow pass — reference matches candidates against
-    both the url and the redirect, app/hash_detector.py:251-261), so this
-    stage is pure JVM: explode the two key columns, group, native pair
-    expansion — one shuffle, no self-join, no Python. The cap only guards
-    degenerate mega-URL groups; url_exact pairs all score 1.0, so star
-    edges lose nothing but redundant edges.
-    """
-    keys = (signatures
-            .select("url", F.explode(F.array_compact(
-                F.array("norm_url", "norm_redirect"))).alias("norm"))
-            .where(F.col("norm").isNotNull()))
-    return (pairs_within_groups(keys, ["norm"], cap)
-            .dropDuplicates(["a", "b"])
-            .withColumn("match_source", F.lit("url_exact")))
 
 
 def simhash_prefilter(pairs: DataFrame, signatures: DataFrame,
@@ -147,26 +120,33 @@ def simhash_prefilter(pairs: DataFrame, signatures: DataFrame,
 
 
 def unified_group_keys(signatures: DataFrame, cfg: DedupConfig) -> DataFrame:
-    """(url, gk): ALL blocking keys in one scan — LSH band keys
-    ('<band_id>:<band_hash>') for signed documents plus normalized-URL keys
-    ('u:<norm>', exact strings — never hashed, so a url_exact pair can never
-    be a hash collision) for every document incl. signature-less ones."""
+    """(url, gk_band BIGINT?, gk_url STRING?): ALL blocking keys in one scan,
+    exactly one of the two columns non-null per row.
+
+    Band keys are ONE xxhash64 over (band_id, band slice) — an 8-byte
+    shuffle key instead of the ~24-byte '<band>:<hash>' string concat (a
+    band key is already a hash, so folding the band id into it is free;
+    cross-band collisions are 2^-64 and land in the verify stage anyway).
+    Normalized-URL keys stay EXACT strings in their own column — never
+    hashed, so a url_exact pair can never be a hash collision — and exist
+    for every document incl. signature-less ones."""
     b, r = cfg.lsh_bands, cfg.lsh_rows
-    band_keys = (
-        f"CASE WHEN minhash IS NOT NULL THEN transform(sequence(0, {b - 1}), "
-        f"i -> concat(i, ':', xxhash64(slice(minhash, i * {r} + 1, {r})))) "
-        "ELSE array() END"
-    )
-    url_keys = (
+    entries = (
         "concat("
-        "CASE WHEN norm_url IS NOT NULL THEN array(concat('u:', norm_url)) "
+        f"CASE WHEN minhash IS NOT NULL THEN transform(sequence(0, {b - 1}), "
+        f"i -> struct(xxhash64(i, slice(minhash, i * {r} + 1, {r})) AS gk_band, "
+        "CAST(NULL AS STRING) AS gk_url)) ELSE "
+        "array() END, "
+        "CASE WHEN norm_url IS NOT NULL THEN "
+        "array(struct(CAST(NULL AS BIGINT) AS gk_band, norm_url AS gk_url)) "
         "ELSE array() END, "
         "CASE WHEN norm_redirect IS NOT NULL THEN "
-        "array(concat('u:', norm_redirect)) ELSE array() END)"
+        "array(struct(CAST(NULL AS BIGINT) AS gk_band, norm_redirect AS gk_url)) "
+        "ELSE array() END)"
     )
-    return signatures.select(
-        "url",
-        F.explode(F.expr(f"concat({band_keys}, {url_keys})")).alias("gk"))
+    return (signatures
+            .select("url", F.explode(F.expr(entries)).alias("k"))
+            .select("url", "k.gk_band", "k.gk_url"))
 
 
 def candidate_pairs(signatures: DataFrame,
@@ -175,14 +155,14 @@ def candidate_pairs(signatures: DataFrame,
     """Full candidate set: LSH ∪ url_exact in ONE key-emission pass — one
     signatures scan, one grouped pair-expansion shuffle, one labeling
     aggregation (instead of separate band and url subplans + a dedup
-    window). A pair seen under any 'u:' key is url_exact and wins: it scores
+    window). A pair seen under any URL key is url_exact and wins: it scores
     1.0 regardless of text, like the reference's short-circuit at
     app/hash_detector.py:263-266."""
     keys = unified_group_keys(signatures, cfg)
-    tagged = pairs_within_groups(keys, ["gk"], cfg.band_bucket_cap,
-                                 key_out="gk")
+    tagged = pairs_within_groups(keys, ["gk_band", "gk_url"],
+                                 cfg.band_bucket_cap, keep_keys=True)
     pairs = (tagged.groupBy("a", "b")
-             .agg(F.max(F.col("gk").startswith("u:")).alias("_exact"))
+             .agg(F.max(F.col("gk_url").isNotNull()).alias("_exact"))
              .select("a", "b",
                      F.when(F.col("_exact"), F.lit("url_exact"))
                      .otherwise(F.lit("lsh")).alias("match_source")))

@@ -35,6 +35,7 @@ from dedup.cluster import assign_clusters
 from dedup.config import DedupConfig
 from dedup.lsh import candidate_pairs
 from dedup.signature import signatures_table
+from dedup.storage import Storage
 from dedup.verify import verify_pairs
 
 STAGES = ("signatures", "pairs", "verified", "clusters")
@@ -50,14 +51,22 @@ class StageInfo:
 
 class DedupPipeline:
     def __init__(self, spark: SparkSession, workdir: str, cfg: DedupConfig,
-                 resume: bool = True):
+                 resume: bool = True, storage: Storage | None = None):
         self.spark = spark
         self.workdir = workdir.rstrip("/")
         self.cfg = cfg
         self.resume = resume
+        # storage seam (SURVEY §1.3): Iceberg catalog when the caller
+        # configured one, path-based parquet otherwise (this sandbox)
+        self.storage = storage or Storage(spark)
         self.job_key = cfg.job_key()
         self.stage_infos: list[StageInfo] = []
         Path(self.workdir, "_lineage").mkdir(parents=True, exist_ok=True)
+
+    def _stage_ref(self, stage: str) -> str:
+        if self.storage.config.catalog:
+            return f"dedup_{self.job_key[:12]}.{stage}"
+        return f"{self.workdir}/{stage}"
 
     # --- lineage ----------------------------------------------------------
     def _manifest_path(self, stage: str) -> Path:
@@ -71,10 +80,9 @@ class DedupPipeline:
             man = json.loads(mp.read_text())
         except json.JSONDecodeError:
             return False
-        success = Path(self.workdir, stage, "_SUCCESS")
         return (man.get("job_key") == self.job_key
                 and man.get("status") == "complete"
-                and success.exists())
+                and self.storage.table_complete(self._stage_ref(stage)))
 
     def _write_manifest(self, stage: str, rows: int, wall_ms: float,
                         n_partitions: int) -> None:
@@ -106,24 +114,36 @@ class DedupPipeline:
             [(0, 0, stage, self.job_key, float(wall_ms))],
             "partition_id int, rows long, stage string, job_key string, "
             "wall_ms double")
-        metrics.coalesce(1).write.mode("append").parquet(
-            f"{self.workdir}/metrics")
+        self.storage.write_table(metrics.coalesce(1),
+                                 self._stage_ref("metrics"), mode="append")
         return rows, max(1, len(counts))
 
     def _run_stage(self, stage: str, build) -> DataFrame:
-        out = f"{self.workdir}/{stage}"
+        ref = self._stage_ref(stage)
         if self.resume and self._stage_done(stage):
-            df = self.spark.read.parquet(out)
+            df = self.storage.read_table(ref)
             self.stage_infos.append(StageInfo(stage, True, -1, 0.0))
             return df
         t0 = time.monotonic()
-        build().write.mode("overwrite").parquet(out)
+        self.storage.write_table(build(), ref)
         wall_ms = (time.monotonic() - t0) * 1000
-        df = self.spark.read.parquet(out)
+        df = self.storage.read_table(ref)
         rows, parts = self._record_metrics(stage, df, wall_ms)
         self._write_manifest(stage, rows, wall_ms, parts)
         self.stage_infos.append(StageInfo(stage, False, rows, wall_ms))
         return df
+
+    def invalidate(self) -> None:
+        """Explicit checkpoint invalidation — the engine analog of the
+        reference's /admin/cache/clear (app/main.py:620-668): drops every
+        stage table + manifest so the next run() recomputes from scratch
+        even with resume=True."""
+        for stage in STAGES + ("metrics",):
+            self.storage.invalidate(self._stage_ref(stage))
+            mp = self._manifest_path(stage)
+            if mp.exists():
+                mp.unlink()
+        self.stage_infos.clear()
 
     # --- stages -------------------------------------------------------------
     def run(self, corpus: DataFrame) -> dict[str, DataFrame]:
@@ -160,7 +180,7 @@ class DedupPipeline:
             "pairs": pairs,
             "verified": verified,
             "clusters": clusters,
-            "metrics": self.spark.read.parquet(f"{self.workdir}/metrics"),
+            "metrics": self.storage.read_table(self._stage_ref("metrics")),
         }
 
 

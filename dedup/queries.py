@@ -486,6 +486,36 @@ def q_lsh_planted_recall(spark, sf_dir):
     return gt.join(pairs, ["a", "b"]).orderBy("a", "b")
 
 
+def q_metadata_enrich(spark, sf_dir):
+    """M6 metadata enrichment (reference app/main.py:251-386): fill ONLY the
+    missing title/description of sparse records from a complete reference
+    table, url-match preferred over exact-lowercase-title match,
+    placeholders counting as missing. Deterministic sparse construction:
+    doc_id%3==0 -> placeholder title, doc_id%2==0 -> null description,
+    doc_id%5==0 -> null url."""
+    from dedup.enrich import enrich_from_reference
+    base = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.trim(F.substring("text", 1, 30)).alias("title"),
+        F.trim(F.substring("text", 31, 60)).alias("description"),
+        F.concat(F.lit("https://www."), "source",
+                 F.lit(".example.com/docs/"),
+                 F.col("doc_id").cast("string")).alias("url"),
+        "source")
+    reference_table = base.select("title", "description", "url")
+    sparse = base.where("doc_id < 200").select(
+        F.col("doc_id").cast("bigint").alias("record_id"),
+        F.when(F.col("doc_id") % 3 == 0, F.lit("string"))
+        .otherwise(F.col("title")).alias("title"),
+        F.when(F.col("doc_id") % 2 == 0, F.lit(None).cast("string"))
+        .otherwise(F.col("description")).alias("description"),
+        F.when(F.col("doc_id") % 5 == 0, F.lit(None).cast("string"))
+        .otherwise(F.concat(F.lit("HTTPS://WWW."), "source",
+                            F.lit(".Example.com/Docs/"),
+                            F.col("doc_id").cast("string"))).alias("url"))
+    return enrich_from_reference(sparse, reference_table)
+
+
 def q_dedupe_one_url(spark, sf_dir):
     """M8 per-key query (`/detect/hash/by-node` analog): duplicates of ONE
     url against the corpus signatures table via band-key semi-join,
@@ -496,7 +526,54 @@ def q_dedupe_one_url(spark, sf_dir):
     return dedupe_one(s, "https://mirror.net/copy/7", PARITY_CONFIG)
 
 
+def q_token_count_bpe(spark, sf_dir):
+    """BPE-style regex pre-tokenizer count (training-pipeline extra): runs
+    of letters, single digits, and single non-alnum marks — the shape a
+    byte-pair encoder's pre-tokenizer produces, vs T1's whitespace count."""
+    pat = "[a-z]+|[0-9]|[^a-z0-9 ]"
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        F.expr(f"size(regexp_extract_all(lower(text), '{pat}', 0))")
+        .cast("bigint").alias("n_bpe_tokens"))
+
+
 # --- events (generic operator coverage: agg / window / top-k) --------------------
+
+def q_events_sessions(spark, sf_dir):
+    """Sessionization (window lag + gap threshold): per user, a new session
+    starts after a > 30 min silence. Ties on ts give gap 0 either way, so
+    the session count is deterministic."""
+    e = _events(spark, sf_dir).select("user_id", "ts")
+    w = Window.partitionBy("user_id").orderBy("ts")
+    marked = (e.withColumn("prev_ts", F.lag("ts").over(w))
+              .withColumn(
+                  "new_session",
+                  F.when(F.expr("timestampdiff(MICROSECOND, prev_ts, ts)")
+                         > 1_800_000_000, F.lit(1)).otherwise(F.lit(0))))
+    return (marked.groupBy("user_id")
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 (F.sum("new_session") + F.lit(1)).cast("bigint")
+                 .alias("n_sessions")))
+
+
+def q_region_revenue(spark, sf_dir):
+    """Broadcast-dim join chain (orders -> customer -> nation -> region):
+    revenue per region. Dims are broadcast explicitly — the join shape a
+    100-TB fact table needs (no shuffle of orders beyond the final agg)."""
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    n = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    r = spark.read.parquet(f"{sf_dir}/region.parquet")
+    joined = (o.join(c.select("c_custkey", "c_nationkey"),
+                     o.o_custkey == c.c_custkey)
+              .join(F.broadcast(n.select("n_nationkey", "n_regionkey")),
+                    F.col("c_nationkey") == F.col("n_nationkey"))
+              .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey")))
+    return (joined.groupBy("r_name")
+            .agg(F.count(F.lit(1)).alias("n_orders"),
+                 F.round(F.sum(F.col("o_totalprice").cast("decimal(18,6)"))
+                         .cast("double"), 2).alias("revenue")))
+
 
 def q_events_agg(spark, sf_dir):
     """Hash aggregation with exact decimal sums (M2/T9e analog)."""
@@ -558,7 +635,11 @@ QUERIES = {
     "embedding_knn_lsh": q_embedding_knn_lsh,
     "extract_roundtrip": q_extract_roundtrip,
     "lsh_planted_recall": q_lsh_planted_recall,
+    "metadata_enrich": q_metadata_enrich,
     "dedupe_one_url": q_dedupe_one_url,
+    "token_count_bpe": q_token_count_bpe,
+    "events_sessions": q_events_sessions,
+    "region_revenue": q_region_revenue,
     "events_agg": q_events_agg,
     "events_user_rank": q_events_user_rank,
     "events_hourly_topk": q_events_hourly_topk,
@@ -613,6 +694,13 @@ def fixture_oracle_sql() -> dict[str, str]:
 
 
 _DUCK_TOKENS = "list_filter(string_split_regex(lower(text), '\\s+'), x -> len(x) > 1)"
+
+# normalize_url for non-YouTube urls as a DuckDB expression (same regexp
+# chain the url_normalize oracle uses): lower, strip scheme/www./query,
+# rstrip '/'
+_DUCK_NORM = ("rtrim(regexp_replace(regexp_replace(regexp_replace("
+              "lower({u}), '^https?://', ''), '^www\\.', ''), "
+              "'\\?.*$', ''), '/')")
 
 _CORPUS_CTE = (
     "WITH corpus AS ("
@@ -731,6 +819,69 @@ ORACLE_SQL = {
         _CORPUS_CTE +
         " SELECT c1.url AS a, c2.url AS b FROM corpus c1 JOIN corpus c2 "
         "ON c1.text = c2.text AND c1.url < c2.url"),
+    "token_count_bpe": (
+        "SELECT doc_id, CAST(len(regexp_extract_all(lower(text), "
+        "'[a-z]+|[0-9]|[^a-z0-9 ]')) AS BIGINT) AS n_bpe_tokens "
+        "FROM documents"),
+    "events_sessions": (
+        "WITH e AS (SELECT user_id, epoch_us(ts) AS t FROM events), "
+        "m AS (SELECT user_id, t, CASE WHEN t - lag(t) OVER "
+        "(PARTITION BY user_id ORDER BY t) > 1800000000 THEN 1 ELSE 0 END "
+        "AS new_session FROM e) "
+        "SELECT user_id, count(*) AS n_events, "
+        "CAST(sum(new_session) + 1 AS BIGINT) AS n_sessions "
+        "FROM m GROUP BY user_id"),
+    "region_revenue": (
+        "SELECT r_name, count(*) AS n_orders, "
+        "round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE), 2) "
+        "AS revenue "
+        "FROM orders JOIN customer ON o_custkey = c_custkey "
+        "JOIN nation ON c_nationkey = n_nationkey "
+        "JOIN region ON n_regionkey = r_regionkey "
+        "GROUP BY r_name"),
+    "metadata_enrich": (
+        "WITH base AS (SELECT doc_id, trim(substr(text, 1, 30)) AS r_title, "
+        "trim(substr(text, 31, 60)) AS r_desc, "
+        "'https://www.' || source || '.example.com/docs/' || CAST(doc_id AS VARCHAR) AS r_url, "
+        "source FROM documents), "
+        "ref AS (SELECT r_title, r_desc, "
+        + _DUCK_NORM.format(u="r_url") + " AS r_norm, "
+        "lower(trim(r_title)) AS r_tkey FROM base), "
+        "sparse AS (SELECT CAST(doc_id AS BIGINT) AS record_id, "
+        "CASE WHEN doc_id % 3 = 0 THEN 'string' ELSE r_title END AS title, "
+        "CASE WHEN doc_id % 2 = 0 THEN NULL ELSE r_desc END AS description, "
+        "CASE WHEN doc_id % 5 = 0 THEN NULL ELSE "
+        "'HTTPS://WWW.' || source || '.Example.com/Docs/' || CAST(doc_id AS VARCHAR) "
+        "END AS url FROM base WHERE doc_id < 200), "
+        "s AS (SELECT *, " + _DUCK_NORM.format(u="url") + " AS norm_url, "
+        "lower(trim(title)) AS tkey, "
+        "(title IS NOT NULL AND len(trim(title)) > 0 AND "
+        "lower(trim(title)) != 'string') AS has_t, "
+        "(description IS NOT NULL AND len(trim(description)) > 0 AND "
+        "lower(trim(description)) != 'string') AS has_d FROM sparse), "
+        "um AS (SELECT record_id, u_title, u_desc FROM ("
+        "SELECT s.record_id, ref.r_title AS u_title, ref.r_desc AS u_desc, "
+        "row_number() OVER (PARTITION BY s.record_id "
+        "ORDER BY ref.r_title, ref.r_desc) AS rn "
+        "FROM s JOIN ref ON s.norm_url = ref.r_norm "
+        "WHERE NOT (s.has_t AND s.has_d)) WHERE rn = 1), "
+        "tm AS (SELECT record_id, t_title, t_desc FROM ("
+        "SELECT s.record_id, ref.r_title AS t_title, ref.r_desc AS t_desc, "
+        "row_number() OVER (PARTITION BY s.record_id "
+        "ORDER BY ref.r_title, ref.r_desc) AS rn "
+        "FROM s JOIN ref ON s.tkey = ref.r_tkey "
+        "WHERE NOT (s.has_t AND s.has_d) AND s.has_t) WHERE rn = 1) "
+        "SELECT s.record_id, "
+        "CASE WHEN s.has_t THEN s.title "
+        "ELSE coalesce(um.u_title, tm.t_title, s.title) END AS title, "
+        "CASE WHEN s.has_d THEN s.description "
+        "ELSE coalesce(um.u_desc, tm.t_desc, s.description) END AS description, "
+        "s.url, "
+        "CASE WHEN s.has_t AND s.has_d THEN NULL "
+        "WHEN um.u_title IS NOT NULL OR um.u_desc IS NOT NULL THEN 'url' "
+        "WHEN tm.t_title IS NOT NULL OR tm.t_desc IS NOT NULL THEN 'title' "
+        "ELSE NULL END AS enrichment_source "
+        "FROM s LEFT JOIN um USING (record_id) LEFT JOIN tm USING (record_id)"),
 }
 
 # VALUES-fixture oracles for the non-SQL-expressible queries (see

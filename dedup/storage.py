@@ -1,0 +1,89 @@
+"""Storage seam: one read/write interface, Iceberg catalog when available,
+plain parquet paths otherwise (SURVEY §1.3).
+
+The engine's tables (corpus, signatures, pairs, verified, clusters, metrics)
+go through this module so the physical format is a deployment choice, not a
+code change: on a cluster with `iceberg-spark-runtime` on the classpath and a
+catalog configured (spark.sql.catalog.<name>=org.apache.iceberg...), pass
+``catalog="<name>"`` and refs become catalog tables (`<name>.db.table`) with
+Iceberg's snapshot/partition metadata; in this sandbox (no Iceberg jar) the
+default path-mode writes parquet directories with identical schemas.
+
+Refs:
+- path mode:     ref is a filesystem/objectstore path ("/work/signatures")
+- catalog mode:  ref is "db.table" under the configured catalog
+
+The reference service has no storage at all (all corpus data lives behind a
+remote REST API, app/wlo_client.py:56,160); this seam is the engine-side
+replacement (S1: HTTP session -> table scan)."""
+
+from __future__ import annotations
+
+import shutil
+from dataclasses import dataclass
+from pathlib import Path
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+@dataclass(frozen=True)
+class StorageConfig:
+    """catalog=None -> path-based parquet; otherwise the name of a Spark
+    catalog (e.g. an Iceberg SparkCatalog) that owns every table ref."""
+    catalog: str | None = None
+
+
+class Storage:
+    def __init__(self, spark: SparkSession,
+                 config: StorageConfig | None = None):
+        self.spark = spark
+        self.config = config or StorageConfig()
+        if self.config.catalog and not self._catalog_configured():
+            raise ValueError(
+                f"catalog '{self.config.catalog}' is not configured on this "
+                "session (spark.sql.catalog.<name> missing) — use path mode "
+                "or configure the Iceberg catalog")
+
+    def _catalog_configured(self) -> bool:
+        key = f"spark.sql.catalog.{self.config.catalog}"
+        try:
+            return self.spark.conf.get(key) is not None
+        except Exception:
+            return False
+
+    def _qualified(self, ref: str) -> str:
+        return f"{self.config.catalog}.{ref}"
+
+    # --- interface --------------------------------------------------------
+    def read_table(self, ref: str) -> DataFrame:
+        if self.config.catalog:
+            return self.spark.read.table(self._qualified(ref))
+        return self.spark.read.parquet(ref)
+
+    def write_table(self, df: DataFrame, ref: str,
+                    mode: str = "overwrite") -> None:
+        if self.config.catalog:
+            writer = df.writeTo(self._qualified(ref))
+            if mode == "overwrite":
+                writer.createOrReplace()
+            else:
+                writer.append()
+            return
+        df.write.mode(mode).parquet(ref)
+
+    def table_complete(self, ref: str) -> bool:
+        """True when the table exists and its last write finished (path
+        mode: parquet _SUCCESS marker; catalog mode: table existence —
+        Iceberg commits are atomic, so existence implies completeness)."""
+        if self.config.catalog:
+            return self.spark.catalog.tableExists(self._qualified(ref))
+        return Path(ref, "_SUCCESS").exists()
+
+    def invalidate(self, ref: str) -> None:
+        """Drop the table/path so the next write recomputes from scratch —
+        the engine analog of the reference's /admin/cache/clear
+        (app/main.py:620-668)."""
+        if self.config.catalog:
+            self.spark.sql(f"DROP TABLE IF EXISTS {self._qualified(ref)}")
+            return
+        shutil.rmtree(ref, ignore_errors=True)

@@ -102,20 +102,33 @@ def verify_pairs(pairs: DataFrame, signatures: DataFrame,
     def score(batches):
         for pdf in batches:
             n = len(pdf)
-            sims = np.empty(n, dtype=np.float64)
+            if n == 0:
+                continue
+            # signatures are fixed length k, so the Arrow batch is one
+            # rectangular matrix: batched BLAS matmul scores every pair at
+            # once and is BIT-IDENTICAL to the reference's per-pair
+            # np.dot / np.linalg.norm (same BLAS kernels; verified by
+            # tests/test_signature.py cosine parity and a dedicated
+            # equality test) — unlike einsum/sum(axis=1), whose pairwise
+            # summation differs from ddot in the last ulp.
+            A = np.stack(pdf["_sig_a"].to_numpy()).astype(np.float64,
+                                                          copy=False)
+            B = np.stack(pdf["_sig_b"].to_numpy()).astype(np.float64,
+                                                          copy=False)
+            dots = np.matmul(A[:, None, :], B[:, :, None]).ravel()
+            na = np.sqrt(np.matmul(A[:, None, :], A[:, :, None]).ravel())
+            nb = np.sqrt(np.matmul(B[:, None, :], B[:, :, None]).ravel())
+            sims = dots / (na * nb)
             jacs = np.full(n, np.nan, dtype=np.float64)
-            for i, (xa, xb, ha, hb) in enumerate(zip(
-                    pdf["_sig_a"], pdf["_sig_b"], pdf["_sh_a"], pdf["_sh_b"])):
-                va = np.asarray(xa, dtype=np.float64)
-                vb = np.asarray(xb, dtype=np.float64)
-                sims[i] = np.dot(va, vb) / (np.linalg.norm(va)
-                                            * np.linalg.norm(vb))
-                if ha is not None and hb is not None:
-                    ia = np.asarray(ha, dtype=np.int64)
-                    ib = np.asarray(hb, dtype=np.int64)
-                    inter = np.intersect1d(ia, ib, assume_unique=True).size
-                    union = ia.size + ib.size - inter
-                    jacs[i] = inter / union if union else 0.0
+            if scoring == "jaccard":
+                for i, (ha, hb) in enumerate(zip(pdf["_sh_a"], pdf["_sh_b"])):
+                    if ha is not None and hb is not None:
+                        ia = np.asarray(ha, dtype=np.int64)
+                        ib = np.asarray(hb, dtype=np.int64)
+                        inter = np.intersect1d(ia, ib,
+                                               assume_unique=True).size
+                        union = ia.size + ib.size - inter
+                        jacs[i] = inter / union if union else 0.0
             keep = (jacs >= j_threshold if scoring == "jaccard"
                     else sims >= threshold)
             yield pd.DataFrame({

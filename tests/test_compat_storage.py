@@ -1,0 +1,115 @@
+"""Compat operators (M3 stats assembly, M5 candidate clamp, M10 cache
+invalidation — reference app/main.py:178-248, :620-668) and the storage seam
+(SURVEY §1.3: one read/write interface, parquet fallback in this sandbox)."""
+
+from __future__ import annotations
+
+import json
+from pathlib import Path
+
+import pytest
+
+from dedup.config import (REF_MAX_CANDIDATES, DedupConfig,
+                          get_effective_max_candidates)
+
+
+def test_m5_clamp_semantics():
+    # reference app/main.py:228-248: None -> limit; otherwise min(req, limit)
+    assert get_effective_max_candidates(None) == REF_MAX_CANDIDATES
+    assert get_effective_max_candidates(10) == 10
+    assert get_effective_max_candidates(10_000) == REF_MAX_CANDIDATES
+    assert get_effective_max_candidates(1, limit=5) == 1
+    assert get_effective_max_candidates(9, limit=5) == 5
+
+
+def test_m3_candidate_stats_truncation(spark):
+    # reference app/main.py:178-204: search_value -> 80 chars,
+    # normalized_value -> 50 chars, per-field max similarity joined in
+    from dedup.kernel import build_candidate_stats
+    long = "x" * 200
+    info = spark.createDataFrame(
+        [("title", long, long, 7), ("url", "short", None, 0)],
+        "search_field string, search_value string, "
+        "normalized_value string, candidates_found int")
+    fmax = spark.createDataFrame(
+        [("title", 0.9876)], "search_field string, max_similarity double")
+    rows = {r["search_field"]: r
+            for r in build_candidate_stats(info, fmax).collect()}
+    assert len(rows["title"]["search_value"]) == 80
+    assert len(rows["title"]["normalized_value"]) == 50
+    assert rows["title"]["max_similarity"] == 0.9876
+    assert rows["url"]["max_similarity"] is None
+    assert rows["url"]["search_value"] == "short"
+
+
+def test_storage_parquet_roundtrip_and_invalidate(spark, tmp_path):
+    from dedup.storage import Storage
+    st = Storage(spark)
+    ref = str(tmp_path / "t1")
+    df = spark.range(10).withColumnRenamed("id", "v")
+    st.write_table(df, ref)
+    assert st.table_complete(ref)
+    assert st.read_table(ref).count() == 10
+    st.write_table(spark.range(5).withColumnRenamed("id", "v"), ref,
+                   mode="append")
+    assert st.read_table(ref).count() == 15
+    st.invalidate(ref)
+    assert not st.table_complete(ref)
+
+
+def test_storage_rejects_unconfigured_catalog(spark):
+    from dedup.storage import Storage, StorageConfig
+    with pytest.raises(ValueError, match="not configured"):
+        Storage(spark, StorageConfig(catalog="nope"))
+
+
+def test_dedupe_one_semantics(spark):
+    # M8 per-key mode (reference app/main.py:499-531): identical text ->
+    # cosine 1.0; same normalized url -> url_exact; self excluded; missing
+    # key -> empty result
+    from dedup.kernel import dedupe_one
+    from dedup.signature import signatures_table
+    cfg = DedupConfig()
+    corpus = spark.createDataFrame(
+        [("https://a.org/x", "alpha beta gamma delta words here"),
+         ("https://b.org/y", "alpha beta gamma delta words here"),
+         ("https://A.ORG/x/", "completely different text tokens now"),
+         ("https://c.org/z", "unrelated corpus filler document text")],
+        "url string, text string")
+    sigs = signatures_table(corpus, cfg)
+    got = {r["node_url"]: (r["similarity"], r["match_source"])
+           for r in dedupe_one(sigs, "https://a.org/x", cfg).collect()}
+    assert got["https://b.org/y"] == (1.0, "lsh")          # identical text
+    assert got["https://A.ORG/x/"] == (1.0, "url_exact")   # norm-url match
+    assert "https://a.org/x" not in got                    # self excluded
+    assert "https://c.org/z" not in got                    # below threshold
+    assert dedupe_one(sigs, "https://nope.example/", cfg).count() == 0
+
+
+def test_m10_pipeline_invalidate_recomputes(spark, tmp_path):
+    # M10: after invalidate(), resume=True must NOT skip stages
+    # (reference /admin/cache/clear, app/main.py:620-668)
+    from dedup.pipeline import DedupPipeline
+    from dedup.synth import write_corpus
+    corpus_path = str(tmp_path / "corpus")
+    write_corpus(spark, corpus_path, n_docs=60, seed=7)
+    corpus = spark.read.parquet(corpus_path)
+    cfg = DedupConfig()
+    workdir = str(tmp_path / "run")
+
+    p1 = DedupPipeline(spark, workdir, cfg, resume=True)
+    t1 = p1.run(corpus)
+    n_clusters = t1["clusters"].count()
+    assert all(not s.skipped for s in p1.stage_infos)
+
+    p2 = DedupPipeline(spark, workdir, cfg, resume=True)
+    p2.run(corpus)
+    assert all(s.skipped for s in p2.stage_infos)
+
+    p2.invalidate()
+    assert not Path(workdir, "signatures", "_SUCCESS").exists()
+    assert not Path(workdir, "_lineage", "signatures.json").exists()
+    p3 = DedupPipeline(spark, workdir, cfg, resume=True)
+    t3 = p3.run(corpus)
+    assert all(not s.skipped for s in p3.stage_infos)
+    assert t3["clusters"].count() == n_clusters

@@ -30,6 +30,20 @@ def test_xxh64_long_array_matches_spark(spark):
         assert lo.xxh64_long_array(arr) == got[i]
 
 
+def test_xxh64_band_key_matches_spark(spark):
+    """The unified band key is xxhash64(band_id INT, slice ARRAY<BIGINT>);
+    the single-node oracle and dedupe_one must reproduce it exactly."""
+    random.seed(19)
+    rows = [(i, random.randint(0, 63),
+             [random.randint(0, 2**33) for _ in range(2)])
+            for i in range(80)]
+    df = spark.createDataFrame(rows, "id int, bid int, arr array<bigint>")
+    got = {r["id"]: r["h"] for r in
+           df.select("id", F.xxhash64("bid", "arr").alias("h")).collect()}
+    for i, bid, arr in rows:
+        assert lo.xxh64_band_key(bid, arr) == got[i]
+
+
 def test_pairs_from_groups_matches_spark(spark):
     random.seed(13)
     rows = [(f"k{random.randint(0, 9)}", f"m{random.randint(0, 30):03d}")
@@ -92,6 +106,24 @@ def test_fixture_signatures_reproducible():
         assert n_tokens == s.n_tokens
         assert sig0 == int(s.minhash[0])
         assert simhash == s.simhash
+
+
+def test_batched_matmul_cosine_bit_equals_per_row_dot():
+    """The verify stage scores Arrow batches with batched BLAS matmul; the
+    reference scores per pair with np.dot/np.linalg.norm. These must agree
+    to the LAST ULP (the einsum/sum-axis alternatives do not)."""
+    import numpy as np
+    rng = np.random.RandomState(5)
+    n, k = 5000, 100
+    A = rng.randint(0, 2**32, size=(n, k)).astype(np.float64)
+    B = rng.randint(0, 2**32, size=(n, k)).astype(np.float64)
+    dots = np.matmul(A[:, None, :], B[:, :, None]).ravel()
+    na = np.sqrt(np.matmul(A[:, None, :], A[:, :, None]).ravel())
+    nb = np.sqrt(np.matmul(B[:, None, :], B[:, :, None]).ravel())
+    batched = dots / (na * nb)
+    for i in range(n):
+        ref = np.dot(A[i], B[i]) / (np.linalg.norm(A[i]) * np.linalg.norm(B[i]))
+        assert batched[i] == ref
 
 
 def test_local_verify_threshold_semantics():
