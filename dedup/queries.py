@@ -316,17 +316,17 @@ def ann_bucket_codes(M: np.ndarray, planes: np.ndarray) -> np.ndarray:
     return codes
 
 
-def q_embedding_knn_lsh(spark, sf_dir):
-    """Scale-path ANN: multi-table random-hyperplane LSH (b tables x r bits)
+def ann_lsh_pairs(e: DataFrame, cos_min: float = ANN_COS_MIN,
+                  dim: int = 64) -> DataFrame:
+    """Scale-path ANN core over e(vec_id BIGINT, v ARRAY<DOUBLE>):
+    multi-table random-hyperplane LSH (b tables x r bits)
     -> skew-aware grouped pair emission (dedup/lsh.pairs_within_groups: all
     pairs for buckets <= cap, star edges above — never a bucket self-join)
     -> exact cosine rerank on the surviving slim pair set. At 100x data the
     emitted-pair count stays O(sum min(bucket, cap)^2 / bucket) per table
     instead of the O(n^2/2^r) a single-code self-join degrades to."""
     from dedup.lsh import pairs_within_groups
-    e = _emb(spark, sf_dir).select(
-        "vec_id", F.col("embedding").cast("array<double>").alias("v"))
-    planes = ann_hyperplanes()
+    planes = ann_hyperplanes(dim)
 
     @F.pandas_udf("array<long>")
     def codes_udf(vs: pd.Series) -> pd.Series:
@@ -356,8 +356,16 @@ def q_embedding_knn_lsh(spark, sf_dir):
     cos = dot / (F.expr(norm.format("va")) * F.expr(norm.format("vb")))
     return (pairs.join(va, "a").join(vb, "b")
             .select("a", "b", F.round(cos, 6).alias("cos_sim"))
-            .where(f"cos_sim > {ANN_COS_MIN}")
+            .where(f"cos_sim > {cos_min}")
             .orderBy("a", "b"))
+
+
+def q_embedding_knn_lsh(spark, sf_dir):
+    """ANN scale path over the embeddings table (see ann_lsh_pairs).
+    Oracle: VALUES fixture from the single-node implementation."""
+    e = _emb(spark, sf_dir).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v"))
+    return ann_lsh_pairs(e)
 
 
 def q_cache_key(spark, sf_dir):
