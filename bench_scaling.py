@@ -31,7 +31,12 @@ TOKEN_SCALE = float(os.environ.get("SCALING_TOKEN_SCALE", "4"))
 LEVELS = tuple(int(x) for x in
                os.environ.get("SCALING_LEVELS", "2,8,32").split(","))
 TRIALS = int(os.environ.get("SCALING_TRIALS", "2"))
-CORPUS = f"/tmp/dedup_scaling_corpus_{N_DOCS}_x{TOKEN_SCALE:g}"
+# fine-grained input files: one ~50 MB file has ONE parquet row group, so a
+# 64-file corpus gives 32 cores only 2 task waves and stragglers dominate;
+# 512 files -> >= 16 waves at every level measured here
+PARTITIONS = int(os.environ.get("SCALING_PARTITIONS", "512"))
+CORPUS = (f"/tmp/dedup_scaling_corpus_{N_DOCS}_x{TOKEN_SCALE:g}"
+          f"_p{PARTITIONS}")
 
 _RUN_ONE = r"""
 import json, shutil, sys, time
@@ -67,8 +72,8 @@ def ensure_corpus() -> None:
     from dedup.synth import write_corpus
 
     spark = build_session("scaling-synth", master="local[32]")
-    write_corpus(spark, CORPUS, n_docs=N_DOCS, seed=42, partitions=64,
-                 token_scale=TOKEN_SCALE)
+    write_corpus(spark, CORPUS, n_docs=N_DOCS, seed=42,
+                 partitions=PARTITIONS, token_scale=TOKEN_SCALE)
     spark.stop()
 
 

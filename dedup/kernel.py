@@ -196,6 +196,80 @@ def find_duplicates(source: SourceMetadata, candidates: DataFrame,
     return duplicates, field_max
 
 
+def dedupe_metadata(signatures: DataFrame, source: SourceMetadata,
+                    cfg: DedupConfig | None = None,
+                    threshold: float | None = None) -> DataFrame:
+    """Ad-hoc by-metadata query at corpus scale — the reference's
+    `/detect/hash/by-metadata` (app/main.py:534-613): the source document is
+    NOT in the corpus; its signature and blocking keys are computed
+    driver-side from the given title/description/url (T9a semantics:
+    valid fields only), candidates come from the same band-key/url-key
+    semi-join as `dedupe_one`, and scoring is the reference cosine against
+    the broadcast source signature.
+
+    Returns (node_url, similarity, match_source) like `dedupe_one`."""
+    from dedup.local_oracle import xxh64_band_key
+    from dedup.lsh import unified_group_keys
+    from dedup.verify import cosine_similarity
+
+    cfg = cfg or DedupConfig()
+    threshold = threshold or cfg.threshold
+    spark = signatures.sparkSession
+
+    has_title = is_valid_field(source.title)
+    has_description = is_valid_field(source.description)
+    parts = ([source.title] if has_title else []) + \
+        ([source.description] if has_description else [])
+    A, B = load_coeffs(cfg.num_hashes, cfg.seed)
+    src_sig = compute_text_signature(" ".join(parts), A, B, cfg)
+    src_norms = {n for n in (normalize_url(source.url),
+                             normalize_url(source.redirect_url)
+                             if source.redirect_url else None) if n}
+    if src_sig is None and not src_norms:
+        return spark.createDataFrame(
+            [], "node_url string, similarity double, match_source string")
+
+    band_keys: list[int] = []
+    if src_sig is not None:
+        b, r = cfg.lsh_bands, cfg.lsh_rows
+        band_keys = [xxh64_band_key(i, src_sig[i * r:(i + 1) * r])
+                     for i in range(b)]
+    cands = (unified_group_keys(signatures, cfg)
+             .where(F.col("gk_band").isin(band_keys)
+                    | F.col("gk_url").isin(sorted(src_norms)))
+             .groupBy("url")
+             .agg(F.max(F.col("gk_url").isNotNull()).alias("_exact")))
+
+    src_sig_f64 = (src_sig.astype(np.float64)
+                   if src_sig is not None else None)
+
+    @F.pandas_udf(DoubleType())
+    def cos_udf(minhashes: pd.Series) -> pd.Series:
+        out = []
+        for mh in minhashes:
+            if mh is None or src_sig_f64 is None:
+                out.append(None)
+            else:
+                out.append(cosine_similarity(
+                    src_sig_f64, np.asarray(mh, dtype=np.float64)))
+        return pd.Series(out, dtype="float64")
+
+    joined = cands.join(signatures.select("url", "minhash"), "url")
+    scored = joined.select(
+        F.col("url").alias("node_url"),
+        F.when(F.col("_exact"), F.lit(1.0))
+        .otherwise(cos_udf("minhash")).alias("similarity"),
+        F.when(F.col("_exact"), F.lit("url_exact"))
+        .otherwise(F.lit("lsh")).alias("match_source"))
+    return (scored
+            .where(F.col("similarity").isNotNull())
+            .where((F.col("match_source") == "url_exact")
+                   | (F.col("similarity") >= F.lit(threshold)))
+            .select("node_url", F.round("similarity", 4).alias("similarity"),
+                    "match_source")
+            .orderBy(F.desc("similarity"), F.asc("node_url")))
+
+
 def build_candidate_stats(search_info: DataFrame,
                           field_max: DataFrame) -> DataFrame:
     """M3 stats assembly (reference app/main.py:178-204): per-field search

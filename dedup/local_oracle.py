@@ -288,6 +288,51 @@ def local_dedupe_one(sigs: list[DocSig], url: str, cfg: DedupConfig):
     return sorted(out, key=lambda t: (-t[1], t[0]))
 
 
+def local_dedupe_metadata(sigs: list[DocSig], title: str | None,
+                          description: str | None, url: str | None,
+                          cfg: DedupConfig):
+    """(node_url, similarity, match_source) — ad-hoc by-metadata query
+    expectation (kernel.dedupe_metadata): source signature from valid
+    fields, candidates share any key, url_exact wins, cosine >= threshold,
+    4-dp HALF_UP rounding."""
+    from dedup.normalize import is_valid_field, normalize_url
+    from dedup.signature import compute_text_signature
+    from dedup.coeffs import load_coeffs
+
+    parts = ([title] if is_valid_field(title) else []) + \
+        ([description] if is_valid_field(description) else [])
+    A, B = load_coeffs(cfg.num_hashes, cfg.seed)
+    src_sig = compute_text_signature(" ".join(parts), A, B, cfg)
+    src_norms = {n for n in (normalize_url(url),) if n}
+
+    src_keys = set()
+    if src_sig is not None:
+        b, r = cfg.lsh_bands, cfg.lsh_rows
+        for i in range(b):
+            src_keys.add(("b", xxh64_band_key(i, src_sig[i * r:(i + 1) * r])))
+    src_keys |= {("u", n) for n in src_norms}
+
+    cands: dict[str, bool] = {}
+    for u, gk in unified_keys(sigs, cfg):
+        if gk in src_keys:
+            cands[u] = cands.get(u, False) or gk[0] == "u"
+    by_url = {s.url: s for s in sigs}
+    out = []
+    for u, is_exact in cands.items():
+        if is_exact:
+            out.append((u, 1.0, "url_exact"))
+            continue
+        c = by_url[u]
+        if c.minhash is None or src_sig is None:
+            continue
+        va = src_sig.astype(np.float64)
+        vb = c.minhash.astype(np.float64)
+        sim = float(np.dot(va, vb) / (np.linalg.norm(va) * np.linalg.norm(vb)))
+        if sim >= cfg.threshold:
+            out.append((u, round_half_up(sim, 4), "lsh"))
+    return sorted(out, key=lambda t: (-t[1], t[0]))
+
+
 # --- substring (winnowing) pass -------------------------------------------------
 
 def local_substring_fingerprints(corpus_rows, cfg: DedupConfig, k: int = 64):

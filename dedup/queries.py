@@ -534,6 +534,20 @@ def q_dedupe_one_url(spark, sf_dir):
     return dedupe_one(s, "https://mirror.net/copy/7", PARITY_CONFIG)
 
 
+def q_dedupe_by_metadata(spark, sf_dir):
+    """M9 ad-hoc by-metadata query (`/detect/hash/by-metadata` analog):
+    a source document NOT in the corpus (title = text of doc 3), scored
+    against the corpus signatures via the same key semi-join. Expected:
+    doc 3 AND its planted mirror at cosine 1.0. Oracle: VALUES fixture
+    from the single-node kernel."""
+    from dedup.kernel import SourceMetadata, dedupe_metadata
+    c = docs_as_corpus(spark, sf_dir)
+    s = signatures_table(c, PARITY_CONFIG)
+    title = (_docs(spark, sf_dir).where("doc_id = 3")
+             .select("text").first()["text"])
+    return dedupe_metadata(s, SourceMetadata(title=title), PARITY_CONFIG)
+
+
 def q_token_count_bpe(spark, sf_dir):
     """BPE-style regex pre-tokenizer count (training-pipeline extra): runs
     of letters, single digits, and single non-alnum marks — the shape a
@@ -645,6 +659,7 @@ QUERIES = {
     "lsh_planted_recall": q_lsh_planted_recall,
     "metadata_enrich": q_metadata_enrich,
     "dedupe_one_url": q_dedupe_one_url,
+    "dedupe_by_metadata": q_dedupe_by_metadata,
     "token_count_bpe": q_token_count_bpe,
     "events_sessions": q_events_sessions,
     "region_revenue": q_region_revenue,

@@ -26,6 +26,16 @@ def build_session(app_name: str = "dedup-spark",
     cpus = os.environ.get("SPARK_GRAFT_CPUS")
     if cpus and master == "local[*]":
         master = f"local[{cpus}]"
+    # Pin BLAS/OMP pools to one thread per python worker: Spark already
+    # runs one worker per core, so library-level threading oversubscribes
+    # (k x cores threads) and measurably SLOWS the batched matmul in verify
+    # (~2x on this box) while wrecking scaling at higher core counts. Set in
+    # this process's env (local-mode workers fork from the same JVM) and in
+    # executorEnv (cluster mode).
+    blas_env = {"OMP_NUM_THREADS": "1", "OPENBLAS_NUM_THREADS": "1",
+                "MKL_NUM_THREADS": "1", "NUMEXPR_NUM_THREADS": "1"}
+    for k, v in blas_env.items():
+        os.environ.setdefault(k, v)
     if shuffle_partitions is None:
         shuffle_partitions = int(os.environ.get("DEDUP_SHUFFLE_PARTITIONS", "32"))
     worker_pythonpath = os.pathsep.join(
@@ -34,6 +44,9 @@ def build_session(app_name: str = "dedup-spark",
         SparkSession.builder.appName(app_name)
         .config("spark.executorEnv.PYTHONPATH", worker_pythonpath)
         .config("spark.yarn.appMasterEnv.PYTHONPATH", worker_pythonpath)
+        .config("spark.executorEnv.OMP_NUM_THREADS", "1")
+        .config("spark.executorEnv.OPENBLAS_NUM_THREADS", "1")
+        .config("spark.executorEnv.MKL_NUM_THREADS", "1")
         .master(master)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")

@@ -1,0 +1,85 @@
+"""Per-document detection CLI — the corpus-scale analog of the reference's
+/detect/hash/by-node and /detect/hash/by-metadata endpoints
+(app/main.py:499-531, :534-613).
+
+    # by node (document already in the corpus, identified by url):
+    python jobs/detect.py --corpus /path/corpus --url https://a.org/x
+
+    # by ad-hoc metadata (document NOT in the corpus):
+    python jobs/detect.py --corpus /path/corpus \\
+        --title "some title" --description "..." [--source-url https://...]
+
+    # reuse a pipeline workdir's signatures table instead of re-signing:
+    python jobs/detect.py --signatures /path/workdir/signatures --url ...
+
+Prints one JSON line per duplicate: {"node_url", "similarity",
+"match_source"}, sorted by similarity descending.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser(description="Per-document dup detection")
+    src = ap.add_mutually_exclusive_group(required=True)
+    src.add_argument("--url", help="by-node mode: url of a corpus document")
+    src.add_argument("--title", help="by-metadata mode: source title")
+    ap.add_argument("--description")
+    ap.add_argument("--source-url", help="by-metadata mode: source url")
+    ap.add_argument("--redirect-url")
+    ap.add_argument("--corpus", help="corpus parquet (url, text[, html])")
+    ap.add_argument("--signatures",
+                    help="precomputed signatures table (pipeline workdir)")
+    ap.add_argument("--threshold", type=float, default=None)
+    ap.add_argument("--max-candidates", type=int, default=None,
+                    help="cap on returned duplicates (M5 clamp applies)")
+    ap.add_argument("--engine-mode", action="store_true")
+    ap.add_argument("--master", default=None)
+    args = ap.parse_args()
+    if not args.corpus and not args.signatures:
+        ap.error("--corpus or --signatures required")
+
+    from dataclasses import replace
+
+    from dedup.config import (ENGINE_CONFIG, PARITY_CONFIG,
+                              get_effective_max_candidates)
+    from dedup.kernel import SourceMetadata, dedupe_metadata, dedupe_one
+    from dedup.session import build_session
+    from dedup.signature import signatures_table
+
+    cfg = ENGINE_CONFIG if args.engine_mode else PARITY_CONFIG
+    if args.threshold is not None:
+        cfg = replace(cfg, threshold=args.threshold)
+
+    spark = build_session("detect", master=args.master)
+    if args.signatures:
+        sigs = spark.read.parquet(args.signatures)
+    else:
+        sigs = signatures_table(spark.read.parquet(args.corpus), cfg)
+
+    if args.url:
+        result = dedupe_one(sigs, args.url, cfg)
+    else:
+        result = dedupe_metadata(
+            sigs,
+            SourceMetadata(title=args.title, description=args.description,
+                           url=args.source_url,
+                           redirect_url=args.redirect_url),
+            cfg)
+    limit = get_effective_max_candidates(args.max_candidates)
+    for row in result.limit(limit).collect():
+        print(json.dumps({"node_url": row["node_url"],
+                          "similarity": row["similarity"],
+                          "match_source": row["match_source"]}))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -86,6 +86,36 @@ def test_dedupe_one_semantics(spark):
     assert dedupe_one(sigs, "https://nope.example/", cfg).count() == 0
 
 
+def test_dedupe_metadata_semantics(spark):
+    # M9 ad-hoc by-metadata mode (reference app/main.py:534-613): source
+    # not in the corpus; identical text -> cosine 1.0; matching source url
+    # -> url_exact; invalid source fields -> empty result
+    from dedup.kernel import SourceMetadata, dedupe_metadata
+    from dedup.signature import signatures_table
+    cfg = DedupConfig()
+    corpus = spark.createDataFrame(
+        [("https://a.org/x", "alpha beta gamma delta words here"),
+         ("https://c.org/z", "unrelated corpus filler document text")],
+        "url string, text string")
+    sigs = signatures_table(corpus, cfg)
+
+    got = {r["node_url"]: (r["similarity"], r["match_source"])
+           for r in dedupe_metadata(
+               sigs, SourceMetadata(
+                   title="alpha beta gamma delta words here")).collect()}
+    assert got == {"https://a.org/x": (1.0, "lsh")}
+
+    got = {r["node_url"]: (r["similarity"], r["match_source"])
+           for r in dedupe_metadata(
+               sigs, SourceMetadata(title="totally different query text",
+                                    url="https://A.ORG/x/")).collect()}
+    assert got["https://a.org/x"] == (1.0, "url_exact")
+
+    # placeholder-only source: no signature, no url keys -> empty
+    assert dedupe_metadata(
+        sigs, SourceMetadata(title="string", description="  ")).count() == 0
+
+
 def test_m10_pipeline_invalidate_recomputes(spark, tmp_path):
     # M10: after invalidate(), resume=True must NOT skip stages
     # (reference /admin/cache/clear, app/main.py:620-668)

@@ -161,6 +161,15 @@ def gen_fixtures(sf_dir: str) -> dict:
         "rows": [list(t) for t in one],
     }
 
+    # --- dedupe_by_metadata (source = text of doc 3 as the title)
+    doc3_text = next(t for _, t, d in rows if d == 3)
+    meta = lo.local_dedupe_metadata(sigs, doc3_text, None, None, cfg)
+    fixtures["dedupe_by_metadata"] = {
+        "columns": [["node_url", "VARCHAR"], ["similarity", "DOUBLE"],
+                    ["match_source", "VARCHAR"]],
+        "rows": [list(t) for t in meta],
+    }
+
     # --- kernel_detect: oracle is the REFERENCE's own kernel output
     fixtures["kernel_detect"] = {
         "columns": [["node_id", "VARCHAR"], ["similarity_score", "DOUBLE"],
