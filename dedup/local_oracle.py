@@ -428,6 +428,49 @@ def local_ann_pairs(vec_rows, cos_min: float, bucket_cap: int):
     return out
 
 
+def local_ivf_pairs(vec_rows, cos_min: float, bucket_cap: int,
+                    nprobe: int = 2, centroid_mod: int = 16):
+    """Single-node expectation of queries.q_embedding_knn_ivf: deterministic
+    centroid subset (vec_id % centroid_mod == 0), nprobe nearest cells via
+    the same normalized matmul + stable argsort, capped grouped pair
+    emission per cell, exact sequential-fold cosine rerank."""
+    ids, vecs = [], []
+    for vid, v in vec_rows:
+        ids.append(int(vid))
+        vecs.append(np.asarray(v, dtype=np.float64))
+    M = np.stack(vecs)
+    cent = [i for i, vid in enumerate(ids) if vid % centroid_mod == 0]
+    cent.sort(key=lambda i: ids[i])
+    C = M[cent]
+    Cn = C / np.linalg.norm(C, axis=1, keepdims=True)
+    Mn = M / np.linalg.norm(M, axis=1, keepdims=True)
+    sims = Mn @ Cn.T
+    top = np.argsort(-sims, axis=1, kind="stable")[:, :nprobe]
+    member_rows = []
+    for i, vid in enumerate(ids):
+        for cell in top[i]:
+            member_rows.append((int(cell), str(vid)))
+    raw = {(a, b) for _, a, b in pairs_from_groups(member_rows, bucket_cap)}
+    pairs = {(min(int(a), int(b)), max(int(a), int(b))) for a, b in raw}
+    by_id = {vid: vecs[i] for i, vid in enumerate(ids)}
+
+    def fold_dot(x, y):
+        acc = np.float64(0.0)
+        for xi, yi in zip(x, y):
+            acc = acc + xi * yi
+        return acc
+
+    out = []
+    for a, b in sorted(pairs):
+        va, vb = by_id[a], by_id[b]
+        cos = float(fold_dot(va, vb)
+                    / (np.sqrt(fold_dot(va, va)) * np.sqrt(fold_dot(vb, vb))))
+        cos_r = round_half_up(cos, 6)
+        if cos_r > cos_min:
+            out.append((a, b, cos_r))
+    return out
+
+
 def round_half_up(x: float, digits: int) -> float:
     """Spark F.round semantics: BigDecimal(shortest-repr of the double),
     HALF_UP at `digits`. Python's repr is the same shortest-roundtrip

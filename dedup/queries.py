@@ -597,6 +597,73 @@ def q_region_revenue(spark, sf_dir):
                          .cast("double"), 2).alias("revenue")))
 
 
+def q_pricing_summary(spark, sf_dir):
+    """TPC-H Q1-shaped pricing summary over lineitem (multi-aggregate hash
+    agg with a pushed-down date filter): exact decimal arithmetic so the
+    sums are summation-order-independent, rounded once at the boundary."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").where(
+        F.col("l_shipdate") <= F.lit("2000-09-02"))
+    dec = lambda c: F.col(c).cast("decimal(18,6)")  # noqa: E731
+    return (li.groupBy("l_returnflag", "l_linestatus")
+            .agg(F.round(F.sum(dec("l_quantity")).cast("double"), 2)
+                 .alias("sum_qty"),
+                 F.round(F.sum(dec("l_extendedprice")).cast("double"), 2)
+                 .alias("sum_base_price"),
+                 F.round(F.sum((dec("l_extendedprice")
+                                * (F.lit(1).cast("decimal(18,6)")
+                                   - dec("l_discount")))).cast("double"), 2)
+                 .alias("sum_disc_price"),
+                 F.count(F.lit(1)).alias("count_order"))
+            .orderBy("l_returnflag", "l_linestatus"))
+
+
+def q_embedding_knn_ivf(spark, sf_dir):
+    """IVF-style ANN (coarse quantizer + cell-local exact search): the
+    scale path a trained-centroid index takes. Centroids are a
+    deterministic subset of the vectors (vec_id % 16 == 0 — a stand-in for
+    kmeans training, which is a preprocessing job, not a query); every
+    vector is assigned to its nprobe=2 nearest cells (one broadcast matmul
+    per Arrow batch); pairs emit within cells via the skew-aware grouped
+    expansion and rerank exactly. Same non-degenerate shape as the LSH
+    variant: vectors never ride the shuffle, no cell self-join."""
+    from dedup.lsh import pairs_within_groups
+    e = _emb(spark, sf_dir).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v"))
+    cent_rows = (e.where(F.col("vec_id") % 16 == 0)
+                 .orderBy("vec_id").collect())
+    C = np.stack([np.asarray(r["v"]) for r in cent_rows])  # (k, dim)
+    Cn = C / np.linalg.norm(C, axis=1, keepdims=True)
+    nprobe = 2
+
+    @F.pandas_udf("array<int>")
+    def cells_udf(vs: pd.Series) -> pd.Series:
+        M = np.stack(vs.to_numpy()).astype(np.float64, copy=False)
+        Mn = M / np.linalg.norm(M, axis=1, keepdims=True)
+        sims = Mn @ Cn.T
+        top = np.argsort(-sims, axis=1, kind="stable")[:, :nprobe]
+        return pd.Series(list(top.astype(np.int32)))
+
+    cells = (e.select(F.col("vec_id").cast("string").alias("url"),
+                      F.explode(cells_udf("v")).alias("cell")))
+    raw = (pairs_within_groups(cells, ["cell"], ANN_BUCKET_CAP)
+           .select(F.col("a").cast("bigint").alias("_x"),
+                   F.col("b").cast("bigint").alias("_y")))
+    pairs = (raw.select(F.least("_x", "_y").alias("a"),
+                        F.greatest("_x", "_y").alias("b"))
+             .dropDuplicates(["a", "b"]))
+    va = e.select(F.col("vec_id").alias("a"), F.col("v").alias("va"))
+    vb = e.select(F.col("vec_id").alias("b"), F.col("v").alias("vb"))
+    dot = F.expr("aggregate(zip_with(va, vb, (x, y) -> x * y), "
+                 "cast(0.0 as double), (acc, x) -> acc + x)")
+    norm = ("sqrt(aggregate(transform({0}, x -> x * x), cast(0.0 as double), "
+            "(acc, x) -> acc + x))")
+    cos = dot / (F.expr(norm.format("va")) * F.expr(norm.format("vb")))
+    return (pairs.join(va, "a").join(vb, "b")
+            .select("a", "b", F.round(cos, 6).alias("cos_sim"))
+            .where(f"cos_sim > {ANN_COS_MIN}")
+            .orderBy("a", "b"))
+
+
 def q_events_agg(spark, sf_dir):
     """Hash aggregation with exact decimal sums (M2/T9e analog)."""
     return (_events(spark, sf_dir)
@@ -663,6 +730,8 @@ QUERIES = {
     "token_count_bpe": q_token_count_bpe,
     "events_sessions": q_events_sessions,
     "region_revenue": q_region_revenue,
+    "pricing_summary": q_pricing_summary,
+    "embedding_knn_ivf": q_embedding_knn_ivf,
     "events_agg": q_events_agg,
     "events_user_rank": q_events_user_rank,
     "events_hourly_topk": q_events_hourly_topk,
@@ -854,6 +923,18 @@ ORACLE_SQL = {
         "SELECT user_id, count(*) AS n_events, "
         "CAST(sum(new_session) + 1 AS BIGINT) AS n_sessions "
         "FROM m GROUP BY user_id"),
+    "pricing_summary": (
+        "SELECT l_returnflag, l_linestatus, "
+        "round(CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE), 2) "
+        "AS sum_qty, "
+        "round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE), 2) "
+        "AS sum_base_price, "
+        "round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6)) * "
+        "(CAST(1 AS DECIMAL(18,6)) - CAST(l_discount AS DECIMAL(18,6)))) "
+        "AS DOUBLE), 2) AS sum_disc_price, "
+        "count(*) AS count_order "
+        "FROM lineitem WHERE l_shipdate <= TIMESTAMP '2000-09-02' "
+        "GROUP BY l_returnflag, l_linestatus"),
     "region_revenue": (
         "SELECT r_name, count(*) AS n_orders, "
         "round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE), 2) "

@@ -78,7 +78,8 @@ def test_fixture_file_exists_and_covers_expected_queries():
         "minhash_signatures", "lsh_candidate_pairs", "dup_clusters",
         "simhash_hamming", "doc_fingerprints", "substring_pairs",
         "media_features", "media_dup_pairs", "embedding_knn_lsh",
-        "dedupe_one_url", "dedupe_by_metadata", "kernel_detect",
+        "embedding_knn_ivf", "dedupe_one_url", "dedupe_by_metadata",
+        "kernel_detect",
     }
     for name, d in data.items():
         assert d["rows"], f"{name} fixture is empty"

@@ -152,6 +152,11 @@ def gen_fixtures(sf_dir: str) -> dict:
         "columns": [["a", "BIGINT"], ["b", "BIGINT"], ["cos_sim", "DOUBLE"]],
         "rows": [list(t) for t in ann],
     }
+    ivf = lo.local_ivf_pairs(emb, ANN_COS_MIN, ANN_BUCKET_CAP)
+    fixtures["embedding_knn_ivf"] = {
+        "columns": [["a", "BIGINT"], ["b", "BIGINT"], ["cos_sim", "DOUBLE"]],
+        "rows": [list(t) for t in ivf],
+    }
 
     # --- dedupe_one_url
     one = lo.local_dedupe_one(sigs, "https://mirror.net/copy/7", cfg)
