@@ -38,6 +38,99 @@ def stream_exact_dedup(stream_corpus: DataFrame,
             .dropDuplicatesWithinWatermark([key]))
 
 
+PAIR_OUTPUT_SCHEMA = "a string, b string, match_source string"
+_PAIR_STATE_SCHEMA = "members array<string>"
+
+
+def stream_candidate_pairs(stream_corpus: DataFrame, cfg: DedupConfig,
+                           state_cap: int = 64) -> DataFrame:
+    """Custom stateful streaming operator: incremental near-dup candidate
+    emission over a document stream.
+
+    The streaming analog of the batch grouped pair emission
+    (dedup/lsh.pairs_within_groups): signatures -> unified blocking keys
+    (band hashes + normalized urls) -> applyInPandasWithState keyed by
+    blocking key. Per-bucket state is the SORTED member list, bounded by
+    `state_cap`: while a bucket is small every arriving document pairs with
+    all remembered members (all-pairs semantics across batches); once the
+    bucket is hot, new arrivals emit ONE star edge to the bucket's minimum
+    member and the state stops growing — the same connectivity-preserving
+    cap the batch path uses, so state size is O(buckets x cap) regardless
+    of stream length.
+
+    Output rows (a, b, match_source) may repeat across buckets/batches;
+    downstream either feeds incremental clustering or a
+    dropDuplicatesWithinWatermark. Pairs from a url key carry
+    match_source='url_exact' (threshold bypass, reference
+    app/hash_detector.py:263-266), band keys carry 'lsh'.
+    """
+    import bisect
+
+    import pandas as pd
+
+    from dedup.lsh import unified_group_keys
+
+    sigs = signatures_table(stream_corpus, cfg)
+    keys = unified_group_keys(sigs, cfg)
+
+    def emit(key, pdfs, state):
+        from pyspark.sql.streaming.state import GroupState  # noqa: F401
+        members: list[str] = list(state.get[0]) if state.exists else []
+        is_url_key = key[1] is not None
+        source = "url_exact" if is_url_key else "lsh"
+        new: list[str] = []
+        for pdf in pdfs:
+            new.extend(pdf["url"].tolist())
+        out_a: list[str] = []
+        out_b: list[str] = []
+        for u in sorted(set(new) - set(members)):
+            if len(members) < state_cap:
+                for m in members:
+                    a, b = (m, u) if m < u else (u, m)
+                    out_a.append(a)
+                    out_b.append(b)
+                bisect.insort(members, u)
+            elif members:
+                center = members[0]
+                a, b = ((center, u) if center < u else (u, center))
+                out_a.append(a)
+                out_b.append(b)
+        state.update((members,))
+        if out_a:
+            yield pd.DataFrame({"a": out_a, "b": out_b,
+                                "match_source": [source] * len(out_a)})
+
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    return (keys.groupBy("gk_band", "gk_url")
+            .applyInPandasWithState(
+                emit,
+                outputStructType=PAIR_OUTPUT_SCHEMA,
+                stateStructType=_PAIR_STATE_SCHEMA,
+                outputMode="append",
+                timeoutConf=GroupStateTimeout.NoTimeout))
+
+
+def run_stream_candidate_pairs(spark, source_dir: str, checkpoint_dir: str,
+                               output_dir: str, cfg: DedupConfig,
+                               schema: str = ("url string, "
+                                              "warc_ts timestamp, "
+                                              "html binary, text string, "
+                                              "lang string")):
+    """File-source ingest -> stateful candidate pairs -> parquet append.
+    Each availableNow run processes new files; bucket state persists in the
+    checkpoint, so pairs across drops are still found."""
+    src = spark.readStream.schema(schema).parquet(source_dir)
+    pairs = stream_candidate_pairs(src.select("url", "text"), cfg)
+    return (pairs.writeStream
+            .format("parquet")
+            .option("path", output_dir)
+            .option("checkpointLocation", checkpoint_dir)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start())
+
+
 def run_file_stream_dedup(spark, source_dir: str, checkpoint_dir: str,
                           output_dir: str, cfg: DedupConfig,
                           schema: str = ("url string, warc_ts timestamp, "

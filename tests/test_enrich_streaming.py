@@ -45,6 +45,40 @@ class TestEnrich:
 
 
 class TestStreaming:
+    def test_stateful_candidate_pairs_across_batches(self, spark, tmp_path):
+        """Custom stateful operator (applyInPandasWithState): a duplicate
+        arriving in a LATER file drop must pair with the original seen in an
+        earlier drop — the bucket membership lives in checkpointed state."""
+        from dedup.streaming import run_stream_candidate_pairs
+        from dedup.synth import corpus_pdf
+
+        pdf = corpus_pdf(80, seed=33)
+        # cross-batch planted duplicate: row 45 (drop 2) = text of row 5 (drop 1)
+        pdf.loc[45, "text"] = pdf.loc[5, "text"]
+        cols = ["url", "warc_ts", "html", "text", "lang"]
+        src = tmp_path / "incoming"
+        src.mkdir()
+        ckpt, out = str(tmp_path / "ckpt"), str(tmp_path / "pairs")
+
+        spark.createDataFrame(pdf.iloc[:40][cols]).coalesce(1) \
+            .write.mode("append").parquet(str(src))
+        q = run_stream_candidate_pairs(spark, str(src), ckpt, out,
+                                       PARITY_CONFIG)
+        q.awaitTermination(120)
+
+        spark.createDataFrame(pdf.iloc[40:][cols]).coalesce(1) \
+            .write.mode("append").parquet(str(src))
+        q = run_stream_candidate_pairs(spark, str(src), ckpt, out,
+                                       PARITY_CONFIG)
+        q.awaitTermination(120)
+
+        pairs = spark.read.parquet(out)
+        a, b = sorted([pdf.loc[5, "url"], pdf.loc[45, "url"]])
+        cross = pairs.where((pairs.a == a) & (pairs.b == b))
+        assert cross.count() >= 1
+        # identical text -> every band collides -> 'lsh' provenance
+        assert {r["match_source"] for r in cross.collect()} == {"lsh"}
+
     def test_file_stream_dedup_signatures(self, spark, tmp_path, detector):
         import numpy as np
 
