@@ -45,6 +45,8 @@ class Storage:
                 "or configure the Iceberg catalog")
 
     def _catalog_configured(self) -> bool:
+        if self.config.catalog == "spark_catalog":
+            return True  # the built-in session catalog always exists
         key = f"spark.sql.catalog.{self.config.catalog}"
         try:
             return self.spark.conf.get(key) is not None
@@ -60,14 +62,31 @@ class Storage:
             return self.spark.read.table(self._qualified(ref))
         return self.spark.read.parquet(ref)
 
+    def _ensure_namespace(self, ref: str) -> None:
+        if "." in ref:
+            ns = ref.rsplit(".", 1)[0]
+            self.spark.sql(
+                f"CREATE NAMESPACE IF NOT EXISTS {self.config.catalog}.{ns}")
+
     def write_table(self, df: DataFrame, ref: str,
                     mode: str = "overwrite") -> None:
         if self.config.catalog:
-            writer = df.writeTo(self._qualified(ref))
-            if mode == "overwrite":
-                writer.createOrReplace()
-            else:
-                writer.append()
+            from pyspark.errors import AnalysisException
+
+            self._ensure_namespace(ref)
+            q = self._qualified(ref)
+            try:
+                # V2 path (Iceberg and other DSv2 catalogs): atomic
+                # create-or-replace / append
+                writer = df.writeTo(q)
+                if mode == "overwrite":
+                    writer.createOrReplace()
+                else:
+                    writer.append()
+            except AnalysisException:
+                # the built-in V1 session catalog supports neither REPLACE
+                # TABLE nor v2 appends to non-existent tables
+                df.write.mode(mode).saveAsTable(q)
             return
         df.write.mode(mode).parquet(ref)
 

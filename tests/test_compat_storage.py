@@ -57,6 +57,46 @@ def test_storage_parquet_roundtrip_and_invalidate(spark, tmp_path):
     assert not st.table_complete(ref)
 
 
+def test_storage_catalog_mode_roundtrip(spark):
+    """Catalog mode exercised for real against the built-in session catalog
+    (V1 fallback path; an Iceberg catalog takes the V2 writeTo path)."""
+    from dedup.storage import Storage, StorageConfig
+    st = Storage(spark, StorageConfig(catalog="spark_catalog"))
+    ref = "dedup_storage_test.t1"
+    st.invalidate(ref)
+    st.write_table(spark.range(10).withColumnRenamed("id", "v"), ref)
+    assert st.table_complete(ref)
+    assert st.read_table(ref).count() == 10
+    st.write_table(spark.range(5).withColumnRenamed("id", "v"), ref,
+                   mode="append")
+    assert st.read_table(ref).count() == 15
+    st.invalidate(ref)
+    assert not st.table_complete(ref)
+
+
+def test_pipeline_through_catalog_storage(spark, tmp_path):
+    """The full pipeline runs with every stage table living in a catalog
+    instead of parquet paths (SURVEY §1.3 seam, both sides exercised)."""
+    from dedup.pipeline import DedupPipeline
+    from dedup.storage import Storage, StorageConfig
+    from dedup.synth import write_corpus
+    corpus_path = str(tmp_path / "corpus")
+    write_corpus(spark, corpus_path, n_docs=50, seed=9)
+    corpus = spark.read.parquet(corpus_path)
+    st = Storage(spark, StorageConfig(catalog="spark_catalog"))
+    p = DedupPipeline(spark, str(tmp_path / "run"), DedupConfig(),
+                      resume=True, storage=st)
+    t = p.run(corpus)
+    assert t["clusters"].count() == 50
+    # resume skips via catalog table existence
+    p2 = DedupPipeline(spark, str(tmp_path / "run"), DedupConfig(),
+                       resume=True, storage=st)
+    p2.run(corpus)
+    assert all(s.skipped for s in p2.stage_infos)
+    p2.invalidate()
+    assert not st.table_complete(p2._stage_ref("signatures"))
+
+
 def test_storage_rejects_unconfigured_catalog(spark):
     from dedup.storage import Storage, StorageConfig
     with pytest.raises(ValueError, match="not configured"):
