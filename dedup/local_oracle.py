@@ -429,15 +429,19 @@ def local_ann_pairs(vec_rows, cos_min: float, bucket_cap: int):
 
 
 def local_ivf_pairs(vec_rows, cos_min: float, bucket_cap: int,
-                    nprobe: int = 2, centroid_mod: int = 16):
+                    nprobe: int = 2, centroid_mod: int | None = None):
     """Single-node expectation of queries.q_embedding_knn_ivf: deterministic
-    centroid subset (vec_id % centroid_mod == 0), nprobe nearest cells via
-    the same normalized matmul + stable argsort, capped grouped pair
-    emission per cell, exact sequential-fold cosine rerank."""
+    BOUNDED centroid subset (vec_id % mod == 0, mod = ivf_centroid_mod(n)
+    unless overridden), nprobe nearest cells via the same normalized matmul
+    + stable argsort, capped grouped pair emission per cell, exact
+    sequential-fold cosine rerank."""
     ids, vecs = [], []
     for vid, v in vec_rows:
         ids.append(int(vid))
         vecs.append(np.asarray(v, dtype=np.float64))
+    if centroid_mod is None:
+        from dedup.queries import ivf_centroid_mod
+        centroid_mod = ivf_centroid_mod(len(ids))
     M = np.stack(vecs)
     cent = [i for i, vid in enumerate(ids) if vid % centroid_mod == 0]
     cent.sort(key=lambda i: ids[i])

@@ -617,29 +617,50 @@ def q_pricing_summary(spark, sf_dir):
             .orderBy("l_returnflag", "l_linestatus"))
 
 
+IVF_MAX_CENTROIDS = 4096
+
+
+def ivf_centroid_mod(n: int, max_centroids: int = IVF_MAX_CENTROIDS) -> int:
+    """Deterministic sampling stride that keeps the centroid count BOUNDED:
+    k = n / mod <= max_centroids for any n, so the coarse-quantizer index is
+    a fixed-size artifact no matter how big the vector table grows (a
+    trained IVF index has a fixed k; this is the training-free stand-in).
+    Total assignment cost is O(n * k * d) = O(n * max_centroids * d) —
+    linear in n, unlike the k = n/16 variant whose total cost was
+    quadratic."""
+    return max(16, -(-n // max_centroids))  # ceil div
+
+
 def q_embedding_knn_ivf(spark, sf_dir):
     """IVF-style ANN (coarse quantizer + cell-local exact search): the
     scale path a trained-centroid index takes. Centroids are a
-    deterministic subset of the vectors (vec_id % 16 == 0 — a stand-in for
-    kmeans training, which is a preprocessing job, not a query); every
-    vector is assigned to its nprobe=2 nearest cells (one broadcast matmul
-    per Arrow batch); pairs emit within cells via the skew-aware grouped
-    expansion and rerank exactly. Same non-degenerate shape as the LSH
-    variant: vectors never ride the shuffle, no cell self-join."""
+    deterministic BOUNDED subset of the vectors (vec_id % mod == 0 with
+    mod = ivf_centroid_mod(n), so k <= 4096 for any n — a stand-in for
+    kmeans training, which is a preprocessing job, not a query). The
+    centroid matrix is shipped via sparkContext.broadcast (torrent
+    distribution, one copy per executor) instead of riding inside every
+    serialized task closure; every vector is assigned to its nprobe=2
+    nearest cells (one matmul per Arrow batch against the broadcast
+    matrix); pairs emit within cells via the skew-aware grouped expansion
+    and rerank exactly. Same non-degenerate shape as the LSH variant:
+    vectors never ride the shuffle, no cell self-join. The only driver
+    collect is the centroid set itself, bounded at <= 4096 rows."""
     from dedup.lsh import pairs_within_groups
     e = _emb(spark, sf_dir).select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v"))
-    cent_rows = (e.where(F.col("vec_id") % 16 == 0)
+    mod = ivf_centroid_mod(e.count())
+    cent_rows = (e.where(F.col("vec_id") % mod == 0)
                  .orderBy("vec_id").collect())
-    C = np.stack([np.asarray(r["v"]) for r in cent_rows])  # (k, dim)
-    Cn = C / np.linalg.norm(C, axis=1, keepdims=True)
+    C = np.stack([np.asarray(r["v"]) for r in cent_rows])  # (k<=4096, dim)
+    Cn_bc = spark.sparkContext.broadcast(
+        C / np.linalg.norm(C, axis=1, keepdims=True))
     nprobe = 2
 
     @F.pandas_udf("array<int>")
     def cells_udf(vs: pd.Series) -> pd.Series:
         M = np.stack(vs.to_numpy()).astype(np.float64, copy=False)
         Mn = M / np.linalg.norm(M, axis=1, keepdims=True)
-        sims = Mn @ Cn.T
+        sims = Mn @ Cn_bc.value.T
         top = np.argsort(-sims, axis=1, kind="stable")[:, :nprobe]
         return pd.Series(list(top.astype(np.int32)))
 

@@ -52,3 +52,39 @@ def test_ann_lsh_emits_nothing_for_orthogonalish_data(spark):
         "vec_id long, v array<double>")
     # random 64-dim unit vectors essentially never exceed cos 0.9
     assert ann_lsh_pairs(df, cos_min=0.9).count() == 0
+
+
+def test_ivf_centroid_mod_bounds_index_size():
+    from dedup.queries import IVF_MAX_CENTROIDS, ivf_centroid_mod
+
+    # small n keeps the dense stand-in quantizer
+    assert ivf_centroid_mod(500) == 16
+    assert ivf_centroid_mod(65_536) == 16
+    # beyond max_centroids*16 the stride grows so k stays bounded: the
+    # centroid collect and the broadcast matrix are fixed-size artifacts
+    # regardless of table size (the round-2 O(n^2) quantizer is gone)
+    for n in (100_000, 10_000_000, 10_000_000_000):
+        mod = ivf_centroid_mod(n)
+        k = n // mod + 1
+        assert k <= IVF_MAX_CENTROIDS + 1
+    # monotone non-decreasing stride
+    assert ivf_centroid_mod(10_000_000) >= ivf_centroid_mod(100_000)
+
+
+def test_ivf_query_matches_local_oracle_sf0001(spark):
+    from dedup.local_oracle import local_ivf_pairs
+    from dedup.queries import q_embedding_knn_ivf
+
+    sf_dir = "/root/testdata/sf0.001"
+    got = {(r["a"], r["b"], r["cos_sim"])
+           for r in q_embedding_knn_ivf(spark, sf_dir).collect()}
+    import duckdb
+    emb = duckdb.sql(
+        f"SELECT vec_id, embedding FROM '{sf_dir}/embeddings.parquet' "
+        "ORDER BY vec_id").fetchall()
+    from dedup.queries import ANN_BUCKET_CAP, ANN_COS_MIN
+    want = {(a, b, c)
+            for a, b, c in local_ivf_pairs(
+                [(vid, np.asarray(v, dtype=np.float64)) for vid, v in emb],
+                ANN_COS_MIN, ANN_BUCKET_CAP)}
+    assert got == want
