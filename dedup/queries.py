@@ -133,6 +133,73 @@ def q_url_normalize(spark, sf_dir):
     return d.select("doc_id", normalize_url_udf("raw_url").alias("norm_url"))
 
 
+def youtube_raw_urls(doc_id: int) -> list[str]:
+    """The 14 deterministic YouTube URL families used by
+    q_url_normalize_youtube — one per reference branch family
+    (/root/reference/app/models.py:105-203): watch?v, youtu.be, embed
+    (scheme/case-noise), shorts on m.youtube.com, /v/, /live/, playlist,
+    channel, @handle, /c/, /user/, the non-video fallback, the youtu.be
+    branch-order trap (a youtu.be link with an embed-looking path must take
+    the youtu.be branch, yield a non-11-char id and fall through to the
+    path fallback), and watch-without-v. MUST stay in lockstep with the
+    native construction inside q_url_normalize_youtube (pinned by a pytest
+    equality test)."""
+    vid = "v" + str(doc_id).zfill(10)
+    return [
+        f"https://www.youtube.com/watch?v={vid}&t=10s",
+        f"https://youtu.be/{vid}?si=track",
+        f"HTTP://YouTube.com/embed/{vid}?rel=0",
+        f"https://m.youtube.com/shorts/{vid}",
+        f"https://www.youtube.com/v/{vid}",
+        f"https://www.youtube.com/live/{vid}?feature=share",
+        f"https://www.youtube.com/playlist?list=PL{doc_id}abc",
+        f"https://www.youtube.com/channel/UC{doc_id}-q/videos",
+        f"https://www.youtube.com/@Handle{doc_id}/featured",
+        f"https://www.youtube.com/c/Channel{doc_id}",
+        f"https://www.youtube.com/user/user{doc_id}/",
+        "https://www.youtube.com/feed/trending/",
+        f"https://youtu.be/embed/{vid}",
+        f"https://www.youtube.com/watch?app=desktop&t={doc_id}",
+    ]
+
+
+def q_url_normalize_youtube(spark, sf_dir):
+    """N2 YouTube canonicalization over every reference branch family
+    (models.py:105-203), constructed natively per doc_id and normalized by
+    the same UDF the corpus pipeline uses. Oracle: a VALUES fixture frozen
+    from a LIVE IMPORT of the reference's own normalize_url
+    (tools/gen_oracle_fixtures.py), so this row checks true reference
+    parity, not shared-function plumbing."""
+    doc = F.col("doc_id").cast("string")
+    vid = F.concat(F.lit("v"), F.lpad(doc, 10, "0"))
+    fams = F.array(
+        F.concat(F.lit("https://www.youtube.com/watch?v="), vid,
+                 F.lit("&t=10s")),
+        F.concat(F.lit("https://youtu.be/"), vid, F.lit("?si=track")),
+        F.concat(F.lit("HTTP://YouTube.com/embed/"), vid, F.lit("?rel=0")),
+        F.concat(F.lit("https://m.youtube.com/shorts/"), vid),
+        F.concat(F.lit("https://www.youtube.com/v/"), vid),
+        F.concat(F.lit("https://www.youtube.com/live/"), vid,
+                 F.lit("?feature=share")),
+        F.concat(F.lit("https://www.youtube.com/playlist?list=PL"), doc,
+                 F.lit("abc")),
+        F.concat(F.lit("https://www.youtube.com/channel/UC"), doc,
+                 F.lit("-q/videos")),
+        F.concat(F.lit("https://www.youtube.com/@Handle"), doc,
+                 F.lit("/featured")),
+        F.concat(F.lit("https://www.youtube.com/c/Channel"), doc),
+        F.concat(F.lit("https://www.youtube.com/user/user"), doc,
+                 F.lit("/")),
+        F.lit("https://www.youtube.com/feed/trending/"),
+        F.concat(F.lit("https://youtu.be/embed/"), vid),
+        F.concat(F.lit("https://www.youtube.com/watch?app=desktop&t="), doc),
+    )
+    d = (_docs(spark, sf_dir).where("doc_id < 150")
+         .select("doc_id", F.posexplode(fams).alias("fam", "raw_url")))
+    return d.select("doc_id", F.col("fam").cast("bigint").alias("fam"),
+                    "raw_url", normalize_url_udf("raw_url").alias("norm_url"))
+
+
 def q_title_normalize(spark, sf_dir):
     """N3 normalize_title: publisher-suffix strip over constructed titles."""
     d = _docs(spark, sf_dir).select(
@@ -724,6 +791,7 @@ QUERIES = {
     "text_quality": q_text_quality,
     "lang_stopword_scores": q_lang_stopword_scores,
     "url_normalize": q_url_normalize,
+    "url_normalize_youtube": q_url_normalize_youtube,
     "title_normalize": q_title_normalize,
     "field_validity": q_field_validity,
     "exact_dup_groups": q_exact_dup_groups,

@@ -47,3 +47,28 @@ def test_every_row_appears_exactly_once(spark):
     df = spark.createDataFrame([(u,) for u in urls], "url string")
     rows = with_norm_url(df, "url", "norm").collect()
     assert len(rows) == len(urls)
+
+
+def test_youtube_query_construction_matches_python_families(spark):
+    """The Spark-native URL construction inside q_url_normalize_youtube must
+    stay in lockstep with youtube_raw_urls (the fixture generator feeds the
+    Python list to the REFERENCE's normalize_url; the query normalizes the
+    Spark-built strings — any drift would silently decouple them)."""
+    from dedup.queries import q_url_normalize_youtube, youtube_raw_urls
+
+    rows = q_url_normalize_youtube(spark, "/root/testdata/sf0.001").collect()
+    assert rows, "query returned nothing"
+    by_doc_fam = {(r["doc_id"], r["fam"]): r["raw_url"] for r in rows}
+    doc_ids = sorted({d for d, _ in by_doc_fam})
+    for d in doc_ids:
+        expect = youtube_raw_urls(d)
+        for fam, url in enumerate(expect):
+            assert by_doc_fam[(d, fam)] == url
+
+
+def test_youtube_query_matches_reference_normalizer(spark, ref):
+    from dedup.queries import q_url_normalize_youtube
+
+    rows = q_url_normalize_youtube(spark, "/root/testdata/sf0.001").collect()
+    for r in rows:
+        assert r["norm_url"] == ref.models.normalize_url(r["raw_url"]), r

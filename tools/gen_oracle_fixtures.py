@@ -181,7 +181,40 @@ def gen_fixtures(sf_dir: str) -> dict:
                     ["match_source", "VARCHAR"]],
         "rows": kernel_detect_expected(sf_dir),
     }
+
+    # --- url_normalize_youtube: oracle is the REFERENCE's own normalize_url
+    # (live import), run over the same deterministic URL families the Spark
+    # query constructs — a true parity fixture, not shared-function plumbing.
+    ref_models = load_reference_models()
+    from dedup.queries import youtube_raw_urls
+    yt_rows = []
+    n_docs = len({d for _, _, d in rows})
+    for doc_id in range(min(150, n_docs)):
+        for fam, raw in enumerate(youtube_raw_urls(doc_id)):
+            yt_rows.append([doc_id, fam, raw, ref_models.normalize_url(raw)])
+    fixtures["url_normalize_youtube"] = {
+        "columns": [["doc_id", "BIGINT"], ["fam", "BIGINT"],
+                    ["raw_url", "VARCHAR"], ["norm_url", "VARCHAR"]],
+        "rows": yt_rows,
+    }
     return fixtures
+
+
+def load_reference_models():
+    """Import /root/reference/app/models.py with the loguru stub installed."""
+    if "loguru" not in sys.modules:
+        stub = types.ModuleType("loguru")
+
+        class _Noop:
+            def __getattr__(self, name):
+                return lambda *a, **k: None
+
+        stub.logger = _Noop()
+        sys.modules["loguru"] = stub
+    if REFERENCE_PATH not in sys.path:
+        sys.path.insert(0, REFERENCE_PATH)
+    import app.models as models
+    return models
 
 
 def kernel_detect_expected(sf_dir: str) -> list[list]:
