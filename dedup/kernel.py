@@ -210,10 +210,14 @@ def dedupe_metadata(signatures: DataFrame, source: SourceMetadata,
     Returns (node_url, similarity, match_source) like `dedupe_one`."""
     from dedup.local_oracle import xxh64_band_key
     from dedup.lsh import unified_group_keys
+    from dedup.normalize import description_block_key, title_block_keys
     from dedup.verify import cosine_similarity
 
     cfg = cfg or DedupConfig()
-    threshold = threshold or cfg.threshold
+    # an explicit threshold of 0.0 means "keep everything" here (engine
+    # API); only the parity kernel find_duplicates replicates the
+    # reference's `threshold or default` quirk (app/hash_detector.py:187)
+    threshold = cfg.threshold if threshold is None else threshold
     spark = signatures.sparkSession
 
     has_title = is_valid_field(source.title)
@@ -225,7 +229,16 @@ def dedupe_metadata(signatures: DataFrame, source: SourceMetadata,
     src_norms = {n for n in (normalize_url(source.url),
                              normalize_url(source.redirect_url)
                              if source.redirect_url else None) if n}
-    if src_sig is None and not src_norms:
+    # metadata blocking keys (reference title / description-prefix
+    # candidate searches, app/wlo_client.py:265-311) — only useful when the
+    # corpus signatures carry the matching key columns
+    txt_keys: list[str] = []
+    if "title_keys" in signatures.columns:
+        txt_keys = [f"t:{k}" for k in title_block_keys(source.title)]
+        d = description_block_key(source.description)
+        if d is not None:
+            txt_keys.append(f"d:{d}")
+    if src_sig is None and not src_norms and not txt_keys:
         return spark.createDataFrame(
             [], "node_url string, similarity double, match_source string")
 
@@ -234,11 +247,13 @@ def dedupe_metadata(signatures: DataFrame, source: SourceMetadata,
         b, r = cfg.lsh_bands, cfg.lsh_rows
         band_keys = [xxh64_band_key(i, src_sig[i * r:(i + 1) * r])
                      for i in range(b)]
+    from dedup.lsh import key_rank_col, match_source_from_rank
     cands = (unified_group_keys(signatures, cfg)
              .where(F.col("gk_band").isin(band_keys)
-                    | F.col("gk_url").isin(sorted(src_norms)))
+                    | F.col("gk_url").isin(sorted(src_norms))
+                    | F.col("gk_txt").isin(txt_keys))
              .groupBy("url")
-             .agg(F.max(F.col("gk_url").isNotNull()).alias("_exact")))
+             .agg(F.min(key_rank_col()).alias("_rank")))
 
     src_sig_f64 = (src_sig.astype(np.float64)
                    if src_sig is not None else None)
@@ -257,10 +272,9 @@ def dedupe_metadata(signatures: DataFrame, source: SourceMetadata,
     joined = cands.join(signatures.select("url", "minhash"), "url")
     scored = joined.select(
         F.col("url").alias("node_url"),
-        F.when(F.col("_exact"), F.lit(1.0))
+        F.when(F.col("_rank") == 0, F.lit(1.0))
         .otherwise(cos_udf("minhash")).alias("similarity"),
-        F.when(F.col("_exact"), F.lit("url_exact"))
-        .otherwise(F.lit("lsh")).alias("match_source"))
+        match_source_from_rank(F.col("_rank")).alias("match_source"))
     return (scored
             .where(F.col("similarity").isNotNull())
             .where((F.col("match_source") == "url_exact")
@@ -310,8 +324,11 @@ def dedupe_one(signatures: DataFrame, url: str,
     production scale the exploded (url, gk) table is a persisted inverted
     index and this becomes an index lookup + key semi-join.
     """
+    from dataclasses import replace
+
     from dedup.local_oracle import xxh64_band_key
-    from dedup.lsh import unified_group_keys
+    from dedup.lsh import (key_rank_col, match_source_from_rank,
+                           unified_group_keys)
     from dedup.verify import verify_pairs
 
     cfg = cfg or DedupConfig()
@@ -329,18 +346,27 @@ def dedupe_one(signatures: DataFrame, url: str,
                      for i in range(b)]
     url_keys = sorted({n for n in (src["norm_url"], src["norm_redirect"])
                        if n is not None})
+    txt_keys: list[str] = []
+    if "title_keys" in signatures.columns:
+        txt_keys = [f"t:{k}" for k in (src["title_keys"] or [])]
+        if src["desc_key"] is not None:
+            txt_keys.append(f"d:{src['desc_key']}")
 
     cands = (unified_group_keys(signatures, cfg)
              .where(F.col("gk_band").isin(band_keys)
-                    | F.col("gk_url").isin(url_keys))
+                    | F.col("gk_url").isin(url_keys)
+                    | F.col("gk_txt").isin(txt_keys))
              .where(F.col("url") != url)
              .groupBy("url")
-             .agg(F.max(F.col("gk_url").isNotNull()).alias("_exact")))
+             .agg(F.min(key_rank_col()).alias("_rank")))
     pairs = cands.select(
         F.lit(url).alias("a"), F.col("url").alias("b"),
-        F.when(F.col("_exact"), F.lit("url_exact"))
-        .otherwise(F.lit("lsh")).alias("match_source"))
-    verified = verify_pairs(pairs, signatures, cfg).where("keep")
+        match_source_from_rank(F.col("_rank")).alias("match_source"))
+    # keep-decision is ALWAYS reference cosine here, regardless of engine
+    # scoring mode — dedupe_metadata filters by cosine too, so the two
+    # per-document query modes stay consistent under --engine-mode
+    verified = verify_pairs(pairs, signatures,
+                            replace(cfg, scoring="cosine")).where("keep")
     return (verified.select(
         F.col("b").alias("node_url"),
         F.round("similarity", 4).alias("similarity"),

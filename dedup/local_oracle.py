@@ -111,13 +111,20 @@ class DocSig:
     simhash: int | None
     shingles: np.ndarray | None    # sorted int64 or None
     n_tokens: int
+    title_keys: list[str] | None = None   # metadata blocking keys ('t:')
+    desc_key: str | None = None           # description-prefix key ('d:')
 
 
 def local_signatures(rows, cfg: DedupConfig) -> list[DocSig]:
-    """rows: iterable of (url, text[, redirect_url]) -> per-doc signatures,
-    computed with the same pure functions the executors run."""
+    """rows: iterable of (url, text[, redirect_url[, title[, description]]])
+    -> per-doc signatures, computed with the same pure functions the
+    executors run. Rows longer than 3 carry metadata columns: blocking keys
+    are derived and, when the text yields no signature, the reference's T6
+    metadata signature (title + " " + description over valid fields) is
+    used instead — mirroring signatures_table."""
     from dedup.coeffs import load_coeffs
-    from dedup.normalize import normalize_url
+    from dedup.normalize import (description_block_key, is_valid_field,
+                                 normalize_url, title_block_keys)
     from dedup.signature import (char_shingle_hashes, minhash_signature,
                                  shingle_hashes, simhash64, tokenize)
 
@@ -126,11 +133,19 @@ def local_signatures(rows, cfg: DedupConfig) -> list[DocSig]:
     for row in rows:
         url, text = row[0], row[1]
         redirect = row[2] if len(row) > 2 else None
+        has_meta = len(row) > 3
+        title = row[3] if has_meta else None
+        desc = row[4] if len(row) > 4 else None
+        t_keys = (title_block_keys(title) or None) if has_meta else None
+        d_key = description_block_key(desc) if has_meta else None
         words = tokenize(text)
+        if not words and has_meta:
+            parts = [v for v in (title, desc) if is_valid_field(v)]
+            words = tokenize(" ".join(parts))
         if not words:
             out.append(DocSig(url, normalize_url(url),
                               normalize_url(redirect) if redirect else None,
-                              None, None, None, 0))
+                              None, None, None, 0, t_keys, d_key))
             continue
         sh = (char_shingle_hashes(words, cfg.char_shingle_size)
               if cfg.char_shingles else shingle_hashes(words, cfg.shingle_size))
@@ -139,7 +154,7 @@ def local_signatures(rows, cfg: DedupConfig) -> list[DocSig]:
             url, normalize_url(url),
             normalize_url(redirect) if redirect else None,
             minhash_signature(arr, A, B), simhash64(arr),
-            np.sort(arr).astype(np.int64), len(words)))
+            np.sort(arr).astype(np.int64), len(words), t_keys, d_key))
     return out
 
 
@@ -171,8 +186,9 @@ def pairs_from_groups(member_rows, cap: int):
 
 def unified_keys(sigs: list[DocSig], cfg: DedupConfig):
     """(url, gk) rows — same key space as dedup/lsh.unified_group_keys.
-    gk is ('b', xxhash64(band_id, slice)) for band keys and ('u', norm)
-    for exact normalized-URL keys (mirroring the engine's two nullable
+    gk is ('b', xxhash64(band_id, slice)) for band keys, ('u', norm) for
+    exact normalized-URL keys, ('t', key) for title keys, and ('d', key)
+    for description-prefix keys (mirroring the engine's three nullable
     key columns)."""
     b, r = cfg.lsh_bands, cfg.lsh_rows
     for s in sigs:
@@ -184,19 +200,30 @@ def unified_keys(sigs: list[DocSig], cfg: DedupConfig):
             yield s.url, ("u", s.norm_url)
         if s.norm_redirect is not None:
             yield s.url, ("u", s.norm_redirect)
+        for t in s.title_keys or ():
+            yield s.url, ("t", t)
+        if s.desc_key is not None:
+            yield s.url, ("d", s.desc_key)
+
+
+# match-source priority: url exact short-circuits, hash bands are the
+# signature path, title and description-prefix are the metadata recall paths
+_SOURCE_RANK = {"u": 0, "b": 1, "t": 2, "d": 3}
+_SOURCE_NAME = {0: "url_exact", 1: "lsh", 2: "title", 3: "description"}
 
 
 def local_candidate_pairs(sigs: list[DocSig],
                           cfg: DedupConfig) -> list[tuple[str, str, str]]:
-    """(a, b, match_source) — LSH ∪ url_exact, url_exact wins."""
-    exact: dict[tuple[str, str], bool] = {}
+    """(a, b, match_source) — LSH ∪ url_exact ∪ metadata keys; provenance
+    is the highest-priority key kind the pair was seen under."""
+    best: dict[tuple[str, str], int] = {}
     for gk, a, b in pairs_from_groups(
             ((gk, url) for url, gk in unified_keys(sigs, cfg)),
             cfg.band_bucket_cap):
         key = (a, b)
-        exact[key] = exact.get(key, False) or gk[0] == "u"
-    return [(a, b, "url_exact" if ex else "lsh")
-            for (a, b), ex in exact.items()]
+        rank = _SOURCE_RANK[gk[0]]
+        best[key] = min(best.get(key, 3), rank)
+    return [(a, b, _SOURCE_NAME[rank]) for (a, b), rank in best.items()]
 
 
 def local_verify(pairs, sigs: list[DocSig], cfg: DedupConfig):
@@ -252,6 +279,34 @@ def union_find_clusters(all_urls, edges) -> list[tuple[str, str]]:
     return sorted(assign.items())
 
 
+def _meta_src_keys(title_keys: list[str], desc_key: str | None):
+    keys = {("t", k) for k in title_keys}
+    if desc_key is not None:
+        keys.add(("d", desc_key))
+    return keys
+
+
+def _score_candidates(cands: dict[str, int], by_url: dict[str, DocSig],
+                      src_sig, threshold: float):
+    """Shared tail of the per-document queries: url_exact short-circuits to
+    1.0, everything else is reference cosine >= threshold, labeled by the
+    best key rank, 4-dp HALF_UP rounding, (-sim, url) order."""
+    out = []
+    for u, rank in cands.items():
+        if rank == 0:
+            out.append((u, 1.0, "url_exact"))
+            continue
+        c = by_url[u]
+        if c.minhash is None or src_sig is None:
+            continue
+        va = src_sig.astype(np.float64)
+        vb = c.minhash.astype(np.float64)
+        sim = float(np.dot(va, vb) / (np.linalg.norm(va) * np.linalg.norm(vb)))
+        if sim >= threshold:
+            out.append((u, round_half_up(sim, 4), _SOURCE_NAME[rank]))
+    return sorted(out, key=lambda t: (-t[1], t[0]))
+
+
 def local_dedupe_one(sigs: list[DocSig], url: str, cfg: DedupConfig):
     """(node_url, similarity, match_source) — per-key query expectation
     (kernel.dedupe_one): candidates share any unified key with the source,
@@ -267,35 +322,25 @@ def local_dedupe_one(sigs: list[DocSig], url: str, cfg: DedupConfig):
         for i in range(b):
             src_keys.add(("b", xxh64_band_key(i, src.minhash[i * r:(i + 1) * r])))
     src_keys |= {("u", n) for n in (src.norm_url, src.norm_redirect) if n}
+    src_keys |= _meta_src_keys(src.title_keys or [], src.desc_key)
 
-    cands: dict[str, bool] = {}
+    cands: dict[str, int] = {}
     for u, gk in unified_keys(sigs, cfg):
         if u != url and gk in src_keys:
-            cands[u] = cands.get(u, False) or gk[0] == "u"
-    out = []
-    for u, is_exact in cands.items():
-        if is_exact:
-            out.append((u, 1.0, "url_exact"))
-            continue
-        c = by_url[u]
-        if c.minhash is None or src.minhash is None:
-            continue
-        va = src.minhash.astype(np.float64)
-        vb = c.minhash.astype(np.float64)
-        sim = float(np.dot(va, vb) / (np.linalg.norm(va) * np.linalg.norm(vb)))
-        if sim >= cfg.threshold:
-            out.append((u, round_half_up(sim, 4), "lsh"))
-    return sorted(out, key=lambda t: (-t[1], t[0]))
+            cands[u] = min(cands.get(u, 3), _SOURCE_RANK[gk[0]])
+    return _score_candidates(cands, by_url, src.minhash, cfg.threshold)
 
 
 def local_dedupe_metadata(sigs: list[DocSig], title: str | None,
                           description: str | None, url: str | None,
-                          cfg: DedupConfig):
+                          cfg: DedupConfig, redirect_url: str | None = None):
     """(node_url, similarity, match_source) — ad-hoc by-metadata query
     expectation (kernel.dedupe_metadata): source signature from valid
-    fields, candidates share any key, url_exact wins, cosine >= threshold,
+    fields, candidates share any key (band / normalized url incl. redirect
+    / title / description prefix), url_exact wins, cosine >= threshold,
     4-dp HALF_UP rounding."""
-    from dedup.normalize import is_valid_field, normalize_url
+    from dedup.normalize import (description_block_key, is_valid_field,
+                                 normalize_url, title_block_keys)
     from dedup.signature import compute_text_signature
     from dedup.coeffs import load_coeffs
 
@@ -303,7 +348,9 @@ def local_dedupe_metadata(sigs: list[DocSig], title: str | None,
         ([description] if is_valid_field(description) else [])
     A, B = load_coeffs(cfg.num_hashes, cfg.seed)
     src_sig = compute_text_signature(" ".join(parts), A, B, cfg)
-    src_norms = {n for n in (normalize_url(url),) if n}
+    src_norms = {n for n in (normalize_url(url),
+                             normalize_url(redirect_url)
+                             if redirect_url else None) if n}
 
     src_keys = set()
     if src_sig is not None:
@@ -311,26 +358,18 @@ def local_dedupe_metadata(sigs: list[DocSig], title: str | None,
         for i in range(b):
             src_keys.add(("b", xxh64_band_key(i, src_sig[i * r:(i + 1) * r])))
     src_keys |= {("u", n) for n in src_norms}
+    # metadata keys only block when the corpus rows carry them (mirrors the
+    # engine's `"title_keys" in signatures.columns` gate)
+    if any(s.title_keys is not None or s.desc_key is not None for s in sigs):
+        src_keys |= _meta_src_keys(title_block_keys(title),
+                                   description_block_key(description))
 
-    cands: dict[str, bool] = {}
+    cands: dict[str, int] = {}
     for u, gk in unified_keys(sigs, cfg):
         if gk in src_keys:
-            cands[u] = cands.get(u, False) or gk[0] == "u"
+            cands[u] = min(cands.get(u, 3), _SOURCE_RANK[gk[0]])
     by_url = {s.url: s for s in sigs}
-    out = []
-    for u, is_exact in cands.items():
-        if is_exact:
-            out.append((u, 1.0, "url_exact"))
-            continue
-        c = by_url[u]
-        if c.minhash is None or src_sig is None:
-            continue
-        va = src_sig.astype(np.float64)
-        vb = c.minhash.astype(np.float64)
-        sim = float(np.dot(va, vb) / (np.linalg.norm(va) * np.linalg.norm(vb)))
-        if sim >= cfg.threshold:
-            out.append((u, round_half_up(sim, 4), "lsh"))
-    return sorted(out, key=lambda t: (-t[1], t[0]))
+    return _score_candidates(cands, by_url, src_sig, cfg.threshold)
 
 
 # --- substring (winnowing) pass -------------------------------------------------

@@ -119,9 +119,29 @@ def simhash_prefilter(pairs: DataFrame, signatures: DataFrame,
     )
 
 
+GROUP_KEY_COLS = ["gk_band", "gk_url", "gk_txt"]
+
+
+def key_rank_col():
+    """Provenance rank of one unified-key row: 0 url exact (short-circuit),
+    1 minhash band, 2 title key, 3 description-prefix key."""
+    return (F.when(F.col("gk_url").isNotNull(), F.lit(0))
+            .when(F.col("gk_band").isNotNull(), F.lit(1))
+            .when(F.col("gk_txt").startswith("t:"), F.lit(2))
+            .otherwise(F.lit(3)))
+
+
+def match_source_from_rank(rank_col):
+    """Inverse of key_rank_col for labeling aggregated candidates."""
+    return (F.when(rank_col == 0, F.lit("url_exact"))
+            .when(rank_col == 1, F.lit("lsh"))
+            .when(rank_col == 2, F.lit("title"))
+            .otherwise(F.lit("description")))
+
+
 def unified_group_keys(signatures: DataFrame, cfg: DedupConfig) -> DataFrame:
-    """(url, gk_band BIGINT?, gk_url STRING?): ALL blocking keys in one scan,
-    exactly one of the two columns non-null per row.
+    """(url, gk_band BIGINT?, gk_url STRING?, gk_txt STRING?): ALL blocking
+    keys in one scan, exactly one of the three columns non-null per row.
 
     Band keys are ONE xxhash64 over (band_id, band slice) — an 8-byte
     shuffle key instead of the ~24-byte '<band>:<hash>' string concat (a
@@ -129,24 +149,42 @@ def unified_group_keys(signatures: DataFrame, cfg: DedupConfig) -> DataFrame:
     cross-band collisions are 2^-64 and land in the verify stage anyway).
     Normalized-URL keys stay EXACT strings in their own column — never
     hashed, so a url_exact pair can never be a hash collision — and exist
-    for every document incl. signature-less ones."""
+    for every document incl. signature-less ones.
+
+    gk_txt carries the metadata blocking keys when the signatures table has
+    them (title/normalized-title as 't:<key>', description prefix as
+    'd:<key>' — the reference's title and description-prefix candidate
+    searches, app/wlo_client.py:265-311): the kind prefix keeps title and
+    description key spaces disjoint inside one column, so one grouped
+    pair-emission pass still covers every key family."""
     b, r = cfg.lsh_bands, cfg.lsh_rows
-    entries = (
-        "concat("
+    has_txt = "title_keys" in signatures.columns
+    mk = ("struct({band} AS gk_band, {url} AS gk_url, {txt} AS gk_txt)"
+          .format)
+    null_b = "CAST(NULL AS BIGINT)"
+    null_s = "CAST(NULL AS STRING)"
+    parts = [
         f"CASE WHEN minhash IS NOT NULL THEN transform(sequence(0, {b - 1}), "
-        f"i -> struct(xxhash64(i, slice(minhash, i * {r} + 1, {r})) AS gk_band, "
-        "CAST(NULL AS STRING) AS gk_url)) ELSE "
-        "array() END, "
+        f"i -> {mk(band=f'xxhash64(i, slice(minhash, i * {r} + 1, {r}))', url=null_s, txt=null_s)}) "
+        "ELSE array() END",
         "CASE WHEN norm_url IS NOT NULL THEN "
-        "array(struct(CAST(NULL AS BIGINT) AS gk_band, norm_url AS gk_url)) "
-        "ELSE array() END, "
+        f"array({mk(band=null_b, url='norm_url', txt=null_s)}) ELSE array() END",
         "CASE WHEN norm_redirect IS NOT NULL THEN "
-        "array(struct(CAST(NULL AS BIGINT) AS gk_band, norm_redirect AS gk_url)) "
-        "ELSE array() END)"
-    )
+        f"array({mk(band=null_b, url='norm_redirect', txt=null_s)}) ELSE array() END",
+    ]
+    if has_txt:
+        t_key = mk(band=null_b, url=null_s, txt="concat('t:', t)")
+        d_key = mk(band=null_b, url=null_s, txt="concat('d:', desc_key)")
+        parts.append(
+            "CASE WHEN title_keys IS NOT NULL THEN transform(title_keys, "
+            f"t -> {t_key}) ELSE array() END")
+        parts.append(
+            f"CASE WHEN desc_key IS NOT NULL THEN array({d_key}) "
+            "ELSE array() END")
+    entries = "concat(" + ", ".join(parts) + ")"
     return (signatures
             .select("url", F.explode(F.expr(entries)).alias("k"))
-            .select("url", "k.gk_band", "k.gk_url"))
+            .select("url", "k.gk_band", "k.gk_url", "k.gk_txt"))
 
 
 def candidate_pairs(signatures: DataFrame,
@@ -159,13 +197,20 @@ def candidate_pairs(signatures: DataFrame,
     1.0 regardless of text, like the reference's short-circuit at
     app/hash_detector.py:263-266."""
     keys = unified_group_keys(signatures, cfg)
-    tagged = pairs_within_groups(keys, ["gk_band", "gk_url"],
+    tagged = pairs_within_groups(keys, GROUP_KEY_COLS,
                                  cfg.band_bucket_cap, keep_keys=True)
+    # provenance priority mirrors the reference's field order (url exact
+    # short-circuits, hash bands are the signature path, title and
+    # description-prefix searches are the metadata recall paths)
     pairs = (tagged.groupBy("a", "b")
-             .agg(F.max(F.col("gk_url").isNotNull()).alias("_exact"))
+             .agg(F.max(F.col("gk_url").isNotNull()).alias("_exact"),
+                  F.max(F.col("gk_band").isNotNull()).alias("_band"),
+                  F.max(F.col("gk_txt").startswith("t:")).alias("_title"))
              .select("a", "b",
                      F.when(F.col("_exact"), F.lit("url_exact"))
-                     .otherwise(F.lit("lsh")).alias("match_source")))
+                     .when(F.col("_band"), F.lit("lsh"))
+                     .when(F.col("_title"), F.lit("title"))
+                     .otherwise(F.lit("description")).alias("match_source")))
     if use_simhash_prefilter:
         pairs = simhash_prefilter(pairs, signatures, cfg)
     return pairs

@@ -240,6 +240,37 @@ def is_valid_search_value(value, min_length: int = 3) -> bool:
     return value.lower() not in {"string", "n/a", "unknown", ""}
 
 
+# --- metadata blocking keys -----------------------------------------------------
+
+def title_block_keys(title) -> list[str]:
+    """Corpus-self analog of the reference's title candidate search
+    (app/wlo_client.py:265-283): the raw title and, when suffix-stripping
+    changes it, the normalized title — both trimmed+lowercased so the
+    blocking join is case-insensitive. Empty list when the title fails
+    search-value validity (app/wlo_client.py:222-235)."""
+    if not is_valid_search_value(title):
+        return []
+    keys = [title.strip().lower()]
+    norm = normalize_title(title)
+    if norm:
+        k = norm.strip().lower()
+        if k and k not in keys:
+            keys.append(k)
+    return keys
+
+
+def description_block_key(description) -> str | None:
+    """Corpus-self analog of the reference's description-prefix search
+    (app/wlo_client.py:306-311, DESCRIPTION_SEARCH_LENGTH=100): the first
+    100 characters, trimmed+lowercased, as one blocking key. None when the
+    description fails search-value validity."""
+    from dedup.config import DESCRIPTION_SEARCH_LENGTH
+    if not is_valid_search_value(description):
+        return None
+    key = description[:DESCRIPTION_SEARCH_LENGTH].strip().lower()
+    return key or None
+
+
 # --- Spark wrappers -------------------------------------------------------------
 
 @F.pandas_udf(StringType())

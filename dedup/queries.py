@@ -308,6 +308,57 @@ def q_lsh_candidate_pairs(spark, sf_dir):
     return candidate_pairs(s, PARITY_CONFIG).orderBy("a", "b")
 
 
+def docs_as_metadata_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents -> corpus WITH metadata columns, plus planted metadata-only
+    duplicates that share NO text with their originals:
+
+    - A rows (all docs): text + synthesized title/description.
+    - B rows (doc_id < 40): EMPTY text, title = A.title + ' - Wikipedia'
+      — findable only via the normalized-title blocking key (the round-2
+      coverage hole: a metadata-sparse record whose minhash can't collide).
+    - C rows (40 <= doc_id < 60): EMPTY text, no title, description sharing
+      A's first-100-chars prefix — findable only via the description key.
+    """
+    # every word-3-shingle of the synthetic title/description contains a
+    # per-doc token (d{id}a/b/c), so planted rows share NO shingles across
+    # doc_ids or with any document text: the metadata blocking key is
+    # provably the ONLY candidate path for B and C rows
+    doc = F.col("doc_id").cast("string")
+    title = F.concat(F.lit("Topic d"), doc, F.lit("a curriculum d"), doc,
+                     F.lit("b unit"))
+    desc = F.concat(F.lit("Catalog d"), doc, F.lit("a entry d"), doc,
+                    F.lit("b annotation d"), doc, F.lit("c body"))
+    a = _docs(spark, sf_dir).select(
+        F.concat(F.lit("https://site-a.example.org/"), doc).alias("url"),
+        "text", title.alias("title"), desc.alias("description"), "doc_id")
+    b = (_docs(spark, sf_dir).where("doc_id < 40").select(
+        F.concat(F.lit("https://site-b.example.org/"), doc).alias("url"),
+        F.lit("").alias("text"),
+        F.concat(title, F.lit(" - Wikipedia")).alias("title"),
+        F.lit(None).cast("string").alias("description"),
+        "doc_id"))
+    c = (_docs(spark, sf_dir).where("doc_id >= 40 AND doc_id < 60").select(
+        F.concat(F.lit("https://site-c.example.org/"), doc).alias("url"),
+        F.lit("").alias("text"),
+        F.lit(None).cast("string").alias("title"),
+        desc.alias("description"),
+        "doc_id"))
+    return a.unionByName(b).unionByName(c)
+
+
+def q_metadata_block_pairs(spark, sf_dir):
+    """S6 metadata blocking keys (reference title / normalized-title /
+    description-prefix candidate searches, app/wlo_client.py:265-311) as
+    corpus-self candidate generation: planted metadata-only duplicates with
+    EMPTY text must surface as 'title' / 'description' pairs — no minhash
+    collision path exists for them. Oracle: VALUES fixture from the
+    independent single-node engine."""
+    sigs = signatures_table(docs_as_metadata_corpus(spark, sf_dir),
+                            PARITY_CONFIG)
+    return (candidate_pairs(sigs, PARITY_CONFIG)
+            .orderBy("a", "b"))
+
+
 def q_dup_clusters(spark, sf_dir):
     """Full dedup pipeline over the planted-mirror corpus (rows-only)."""
     c = docs_as_corpus(spark, sf_dir)
@@ -800,6 +851,7 @@ QUERIES = {
     "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
     "minhash_signatures": q_minhash_signatures,
     "lsh_candidate_pairs": q_lsh_candidate_pairs,
+    "metadata_block_pairs": q_metadata_block_pairs,
     "dup_clusters": q_dup_clusters,
     "simhash_hamming": q_simhash_hamming,
     "cache_key": q_cache_key,

@@ -180,17 +180,33 @@ def signatures_table(corpus, cfg: DedupConfig, text_col: str = "text",
     text column, which columnar projection serves as the `extracted` table.
     """
     from dedup.extract import extract_text
-    from dedup.normalize import normalize_url
+    from dedup.normalize import (description_block_key, is_valid_field,
+                                 normalize_url, title_block_keys)
 
     if keep_shingles is None:
         keep_shingles = cfg.scoring == "jaccard"
     A, B = load_coeffs(cfg.num_hashes, cfg.seed)
     has_redirect = "redirect_url" in corpus.columns
+    # Metadata blocking keys (reference candidate search by title /
+    # normalized title / description prefix, app/wlo_client.py:265-311) are
+    # emitted only when the corpus actually carries those columns, so
+    # text-only corpora keep the slim schema. A document whose text yields
+    # no signature falls back to the reference's metadata signature
+    # (title + " " + description over the VALID fields — T6,
+    # app/hash_detector.py:105-123 via main.py's by-metadata path), so
+    # metadata-only records can still be cosine-scored.
+    has_title = "title" in corpus.columns
+    has_desc = "description" in corpus.columns
 
     def compute(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
+            n_rows = len(pdf)
             redirects = (pdf["redirect_url"] if has_redirect
-                         else pd.Series([None] * len(pdf)))
+                         else pd.Series([None] * n_rows))
+            titles = (pdf["title"] if has_title
+                      else pd.Series([None] * n_rows))
+            descs = (pdf["description"] if has_desc
+                     else pd.Series([None] * n_rows))
             if extract_html_col is not None:
                 texts = pdf[extract_html_col].map(extract_text)
             else:
@@ -198,13 +214,22 @@ def signatures_table(corpus, cfg: DedupConfig, text_col: str = "text",
             out_texts = []
             urls, norms, norm_redirs = [], [], []
             sigs, simhashes, shingles_out, ntoks = [], [], [], []
-            for url, text, redir in zip(pdf[key_col], texts, redirects):
+            title_keys_out, desc_keys_out = [], []
+            for url, text, redir, title, desc in zip(
+                    pdf[key_col], texts, redirects, titles, descs):
                 if emit_text:
                     out_texts.append(text)
                 urls.append(url)
                 norms.append(normalize_url(url))
                 norm_redirs.append(normalize_url(redir) if redir else None)
+                if has_title or has_desc:
+                    title_keys_out.append(title_block_keys(title) or None)
+                    desc_keys_out.append(description_block_key(desc))
                 words = tokenize(text)
+                if not words and (has_title or has_desc):
+                    # T6 metadata fallback: sign title + " " + description
+                    parts = [v for v in (title, desc) if is_valid_field(v)]
+                    words = tokenize(" ".join(parts))
                 ntoks.append(len(words))
                 if not words:
                     sigs.append(None)
@@ -231,6 +256,9 @@ def signatures_table(corpus, cfg: DedupConfig, text_col: str = "text",
                 "shingles": shingles_out,
                 "n_tokens": pd.array(ntoks, dtype="int32"),
             }
+            if has_title or has_desc:
+                out["title_keys"] = title_keys_out
+                out["desc_key"] = desc_keys_out
             if emit_text:
                 out["text"] = out_texts
             yield pd.DataFrame(out)
@@ -239,5 +267,13 @@ def signatures_table(corpus, cfg: DedupConfig, text_col: str = "text",
             extract_html_col if extract_html_col is not None else text_col]
     if has_redirect:
         cols.append("redirect_url")
-    schema = SIGNATURE_SCHEMA + (", text string" if emit_text else "")
+    if has_title:
+        cols.append("title")
+    if has_desc:
+        cols.append("description")
+    schema = SIGNATURE_SCHEMA
+    if has_title or has_desc:
+        schema += ", title_keys array<string>, desc_key string"
+    if emit_text:
+        schema += ", text string"
     return corpus.select(*cols).mapInPandas(compute, schema=schema)

@@ -39,11 +39,12 @@ def stream_exact_dedup(stream_corpus: DataFrame,
 
 
 PAIR_OUTPUT_SCHEMA = "a string, b string, match_source string"
-_PAIR_STATE_SCHEMA = "members array<string>"
+_PAIR_STATE_SCHEMA = "members array<string>, last_seen_ms bigint"
 
 
 def stream_candidate_pairs(stream_corpus: DataFrame, cfg: DedupConfig,
-                           state_cap: int = 64) -> DataFrame:
+                           state_cap: int = 64,
+                           state_ttl_ms: int | None = None) -> DataFrame:
     """Custom stateful streaming operator: incremental near-dup candidate
     emission over a document stream.
 
@@ -62,9 +63,33 @@ def stream_candidate_pairs(stream_corpus: DataFrame, cfg: DedupConfig,
     downstream either feeds incremental clustering or a
     dropDuplicatesWithinWatermark. Pairs from a url key carry
     match_source='url_exact' (threshold bypass, reference
-    app/hash_detector.py:263-266), band keys carry 'lsh'.
+    app/hash_detector.py:263-266), band keys carry 'lsh', metadata keys
+    'title' / 'description'.
+
+    State lifetime: with the default state_ttl_ms=None, bucket membership
+    lives forever — right for availableNow batch drops. Pass state_ttl_ms
+    for ROLLING-WINDOW semantics: a bucket whose last arrival is older than
+    the TTL is treated as expired, its stale members are dropped before
+    pairing, and the arriving document re-seeds it. Documented recall
+    trade: a document arriving after its bucket expired does not pair with
+    pre-expiry members — standard dedup-window semantics at web scale; the
+    batch pipeline over the accumulated table remains the exhaustive path.
+
+    Why in-state expiry instead of GroupStateTimeout.ProcessingTimeTimeout:
+    this PySpark build crashes the Python worker on every timed-out-key
+    invocation — worker.py's `wrap_grouped_map_pandas_udf_with_state`
+    infers the input columns via `next(value_series_gen)` in the
+    hasTimedOut branch, but a timed-out key carries no data chunks, so the
+    worker dies on StopIteration ("Python worker exited unexpectedly") and
+    availableNow queries re-fire the same timeouts forever
+    (tools/repro_state_timeout_bug.py reproduces it with vanilla
+    applyInPandasWithState). transformWithStateInPandas (state-v2, native
+    TTL) needs google.protobuf, absent in this sandbox. So member LISTS are
+    TTL-bounded here, while expired bucket ROWS are only reclaimed on
+    checkpoint reset — the one piece engine timeouts would add.
     """
     import bisect
+    import time as _time
 
     import pandas as pd
 
@@ -75,9 +100,19 @@ def stream_candidate_pairs(stream_corpus: DataFrame, cfg: DedupConfig,
 
     def emit(key, pdfs, state):
         from pyspark.sql.streaming.state import GroupState  # noqa: F401
-        members: list[str] = list(state.get[0]) if state.exists else []
-        is_url_key = key[1] is not None
-        source = "url_exact" if is_url_key else "lsh"
+        now_ms = int(_time.time() * 1000)
+        members: list[str] = []
+        if state.exists:
+            members, last_seen = list(state.get[0]), state.get[1]
+            if state_ttl_ms is not None and now_ms - last_seen > state_ttl_ms:
+                members = []  # expired window: stale members do not pair
+        # key = (gk_band, gk_url, gk_txt) — exactly one non-null
+        if key[1] is not None:
+            source = "url_exact"
+        elif key[0] is not None:
+            source = "lsh"
+        else:
+            source = "title" if str(key[2]).startswith("t:") else "description"
         new: list[str] = []
         for pdf in pdfs:
             new.extend(pdf["url"].tolist())
@@ -95,14 +130,14 @@ def stream_candidate_pairs(stream_corpus: DataFrame, cfg: DedupConfig,
                 a, b = ((center, u) if center < u else (u, center))
                 out_a.append(a)
                 out_b.append(b)
-        state.update((members,))
+        state.update((members, now_ms))
         if out_a:
             yield pd.DataFrame({"a": out_a, "b": out_b,
                                 "match_source": [source] * len(out_a)})
 
     from pyspark.sql.streaming.state import GroupStateTimeout
 
-    return (keys.groupBy("gk_band", "gk_url")
+    return (keys.groupBy("gk_band", "gk_url", "gk_txt")
             .applyInPandasWithState(
                 emit,
                 outputStructType=PAIR_OUTPUT_SCHEMA,
@@ -113,15 +148,18 @@ def stream_candidate_pairs(stream_corpus: DataFrame, cfg: DedupConfig,
 
 def run_stream_candidate_pairs(spark, source_dir: str, checkpoint_dir: str,
                                output_dir: str, cfg: DedupConfig,
+                               state_ttl_ms: int | None = None,
                                schema: str = ("url string, "
                                               "warc_ts timestamp, "
                                               "html binary, text string, "
                                               "lang string")):
     """File-source ingest -> stateful candidate pairs -> parquet append.
     Each availableNow run processes new files; bucket state persists in the
-    checkpoint, so pairs across drops are still found."""
+    checkpoint, so pairs across drops are still found (until the optional
+    TTL evicts an idle bucket)."""
     src = spark.readStream.schema(schema).parquet(source_dir)
-    pairs = stream_candidate_pairs(src.select("url", "text"), cfg)
+    pairs = stream_candidate_pairs(src.select("url", "text"), cfg,
+                                   state_ttl_ms=state_ttl_ms)
     return (pairs.writeStream
             .format("parquet")
             .option("path", output_dir)

@@ -79,7 +79,7 @@ def test_fixture_file_exists_and_covers_expected_queries():
         "simhash_hamming", "doc_fingerprints", "substring_pairs",
         "media_features", "media_dup_pairs", "embedding_knn_lsh",
         "embedding_knn_ivf", "dedupe_one_url", "dedupe_by_metadata",
-        "kernel_detect",
+        "kernel_detect", "metadata_block_pairs", "url_normalize_youtube",
     }
     for name, d in data.items():
         assert d["rows"], f"{name} fixture is empty"

@@ -55,6 +55,37 @@ def corpus_rows(sf_dir: str) -> list[tuple[str, str, int]]:
     return rows
 
 
+def metadata_corpus_rows(sf_dir: str) -> list[tuple]:
+    """(url, text, redirect, title, description) rows — same construction
+    as dedup.queries.docs_as_metadata_corpus (A/B/C families)."""
+    con = duckdb.connect()
+    df = con.execute(
+        f"SELECT doc_id, text FROM '{sf_dir}/documents.parquet' "
+        "ORDER BY doc_id").df()
+    def title(d):
+        return f"Topic d{d}a curriculum d{d}b unit"
+
+    def desc(d):
+        return f"Catalog d{d}a entry d{d}b annotation d{d}c body"
+
+    rows = []
+    for doc_id, text in zip(df["doc_id"], df["text"]):
+        d = int(doc_id)
+        rows.append((f"https://site-a.example.org/{d}", text, None,
+                     title(d), desc(d)))
+    for doc_id in df["doc_id"]:
+        d = int(doc_id)
+        if d < 40:
+            rows.append((f"https://site-b.example.org/{d}", "", None,
+                         title(d) + " - Wikipedia", None))
+    for doc_id in df["doc_id"]:
+        d = int(doc_id)
+        if 40 <= d < 60:
+            rows.append((f"https://site-c.example.org/{d}", "", None,
+                         None, desc(d)))
+    return rows
+
+
 def gen_fixtures(sf_dir: str) -> dict:
     cfg = PARITY_CONFIG
     rows = corpus_rows(sf_dir)
@@ -173,6 +204,15 @@ def gen_fixtures(sf_dir: str) -> dict:
         "columns": [["node_url", "VARCHAR"], ["similarity", "DOUBLE"],
                     ["match_source", "VARCHAR"]],
         "rows": [list(t) for t in meta],
+    }
+
+    # --- metadata_block_pairs: candidate pairs over the metadata corpus
+    # (title / normalized-title / description-prefix blocking keys)
+    meta_sigs = lo.local_signatures(metadata_corpus_rows(sf_dir), cfg)
+    fixtures["metadata_block_pairs"] = {
+        "columns": [["a", "VARCHAR"], ["b", "VARCHAR"],
+                    ["match_source", "VARCHAR"]],
+        "rows": [list(t) for t in lo.local_candidate_pairs(meta_sigs, cfg)],
     }
 
     # --- kernel_detect: oracle is the REFERENCE's own kernel output
