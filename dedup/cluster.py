@@ -126,6 +126,44 @@ def connected_components(edges: DataFrame, max_iterations: int = 30,
     return children.unionByName(roots).distinct()
 
 
+def merge_assignments(assignments: DataFrame, new_edges: DataFrame,
+                      max_iterations: int = 30) -> DataFrame:
+    """Incremental clustering: union new duplicate edges (e.g. from the
+    streaming candidate operator) into an existing (url, cluster_id)
+    assignment WITHOUT recomputing connected components over the whole
+    graph — only clusters touched by a new edge are re-solved.
+
+    Correctness: the stored assignment is the star-compressed form of the
+    prior edge set (every member points at its component root), and star
+    compression preserves connectivity; so CC over {new edges} ∪ {star
+    edges of touched clusters} equals CC over {all prior edges} ∪ {new
+    edges} restricted to the touched subgraph, while untouched clusters
+    are provably unchanged (no new edge reaches them). cluster_id remains
+    the component-minimum url: a merged component's id is the min over all
+    its members, exactly what a full recompute yields.
+
+    Scale shape: a crawl drop touches a sliver of the corpus, so
+    touched_clusters is broadcast against the big assignment table; the
+    full assignment is scanned once for the member pull and once for the
+    anti-join pass-through — no full-graph CC rounds.
+    """
+    touched_urls = (new_edges.select(F.col("a").alias("url"))
+                    .unionByName(new_edges.select(F.col("b").alias("url")))
+                    .distinct())
+    touched_clusters = (assignments.join(touched_urls, "url")
+                        .select("cluster_id").distinct())
+    affected = assignments.join(F.broadcast(touched_clusters), "cluster_id")
+    star = (affected.where(F.col("url") != F.col("cluster_id"))
+            .select(F.col("cluster_id").alias("a"), F.col("url").alias("b")))
+    sub_urls = (affected.select("url").unionByName(touched_urls).distinct())
+    merged = assign_clusters(sub_urls,
+                             new_edges.select("a", "b").unionByName(star),
+                             max_iterations)
+    untouched = assignments.join(F.broadcast(touched_clusters),
+                                 "cluster_id", "left_anti")
+    return untouched.select("url", "cluster_id").unionByName(merged)
+
+
 def assign_clusters(corpus_keys: DataFrame, edges: DataFrame,
                     max_iterations: int = 30) -> DataFrame:
     """All documents -> (url, cluster_id); documents with no duplicate edge

@@ -82,3 +82,47 @@ class TestAssignClusters:
         got = {r["url"]: r["cluster_id"]
                for r in assign_clusters(corpus, edges).collect()}
         assert got == {"u1": "u1", "u3": "u1", "u2": "u2", "u4": "u4"}
+
+
+class TestMergeAssignments:
+    def _assign(self, spark, urls, edges):
+        u = spark.createDataFrame([(x,) for x in urls], "url string")
+        e = spark.createDataFrame(edges, "a string, b string")
+        return assign_clusters(u, e)
+
+    def test_merge_matches_full_recompute(self, spark):
+        from dedup.cluster import merge_assignments
+
+        urls = ["a", "b", "c", "d", "e", "x", "y", "solo"]
+        initial = [("a", "b"), ("b", "c"), ("d", "e"), ("x", "y")]
+        assignments = self._assign(spark, urls, initial)
+        # merges two existing clusters; extends one with a new vertex;
+        # creates a brand-new cluster from unseen vertices
+        new = [("c", "d"), ("y", "z"), ("p", "q")]
+        got = {(r["url"], r["cluster_id"])
+               for r in merge_assignments(
+                   assignments,
+                   spark.createDataFrame(new, "a string, b string"))
+               .collect()}
+        want = {(r["url"], r["cluster_id"])
+                for r in self._assign(spark, urls + ["z", "p", "q"],
+                                      initial + new).collect()}
+        assert got == want
+        assert ("solo", "solo") in got          # untouched passes through
+        assert ("e", "a") in got                # merged component min id
+
+    def test_merge_random_graphs(self, spark):
+        from dedup.cluster import merge_assignments
+
+        rng = random.Random(11)
+        verts = [f"v{i:02d}" for i in range(40)]
+        initial = [tuple(sorted(rng.sample(verts, 2))) for _ in range(30)]
+        new = [tuple(sorted(rng.sample(verts, 2))) for _ in range(15)]
+        assignments = self._assign(spark, verts, initial)
+        got = {(r["url"], r["cluster_id"])
+               for r in merge_assignments(
+                   assignments,
+                   spark.createDataFrame(new, "a string, b string"))
+               .collect()}
+        oracle = union_find(initial + new, verts)
+        assert got == set(oracle.items())
