@@ -96,39 +96,52 @@ class DedupPipeline:
             "finished_at": time.time(),
         }, indent=2))
 
-    def _record_metrics(self, stage: str, df: DataFrame,
-                        wall_ms: float) -> tuple[int, int]:
+    def _record_metrics(self, stage: str, df: DataFrame, wall_ms: float,
+                        task_totals: dict | None) -> tuple[int, int]:
         """Per-partition lineage rows -> metrics table; returns (rows, parts).
 
         One scan: the per-partition counts are collected (tiny — one row per
         partition) and the metrics parquet + totals come from that list, not
-        from re-scanning the stage output."""
+        from re-scanning the stage output. Task-level telemetry (executor
+        run time, shuffle read/write bytes from the monitoring REST API —
+        M12) rides along on every row when available, null otherwise."""
         counts = (
             df.groupBy(F.spark_partition_id().alias("partition_id"))
             .agg(F.count(F.lit(1)).alias("rows"))
         ).collect()
         rows = sum(r["rows"] for r in counts)
+        tt = task_totals or {}
+        telemetry = (tt.get("executor_run_time_ms"),
+                     tt.get("shuffle_read_bytes"),
+                     tt.get("shuffle_write_bytes"),
+                     tt.get("num_tasks"))
         metrics = self.spark.createDataFrame(
             [(int(r["partition_id"]), int(r["rows"]), stage, self.job_key,
-              float(wall_ms)) for r in counts] or
-            [(0, 0, stage, self.job_key, float(wall_ms))],
+              float(wall_ms), *telemetry) for r in counts] or
+            [(0, 0, stage, self.job_key, float(wall_ms), *telemetry)],
             "partition_id int, rows long, stage string, job_key string, "
-            "wall_ms double")
+            "wall_ms double, executor_run_time_ms long, "
+            "shuffle_read_bytes long, shuffle_write_bytes long, "
+            "num_tasks long")
         self.storage.write_table(metrics.coalesce(1),
                                  self._stage_ref("metrics"), mode="append")
         return rows, max(1, len(counts))
 
     def _run_stage(self, stage: str, build) -> DataFrame:
+        from dedup.metrics import rest_stage_metrics, stage_ids, task_totals
+
         ref = self._stage_ref(stage)
         if self.resume and self._stage_done(stage):
             df = self.storage.read_table(ref)
             self.stage_infos.append(StageInfo(stage, True, -1, 0.0))
             return df
+        before = stage_ids(rest_stage_metrics(self.spark))
         t0 = time.monotonic()
         self.storage.write_table(build(), ref)
         wall_ms = (time.monotonic() - t0) * 1000
+        totals = task_totals(rest_stage_metrics(self.spark), before)
         df = self.storage.read_table(ref)
-        rows, parts = self._record_metrics(stage, df, wall_ms)
+        rows, parts = self._record_metrics(stage, df, wall_ms, totals)
         self._write_manifest(stage, rows, wall_ms, parts)
         self.stage_infos.append(StageInfo(stage, False, rows, wall_ms))
         return df

@@ -71,3 +71,57 @@ class TestResume:
             total = (m.where(f"stage = '{stage}'")
                      .groupBy().sum("rows").first()[0])
             assert total == man["rows"]
+
+    def test_metrics_task_telemetry_null_without_ui(self, spark, corpus_df,
+                                                    tmp_path):
+        """The shared test session runs with spark.ui.enabled=false, so the
+        REST telemetry columns must exist and be null — never crash."""
+        wd = str(tmp_path / "job4")
+        tables = dedupe_corpus(spark, corpus_df, wd, PARITY_CONFIG)
+        m = tables["metrics"]
+        assert {"executor_run_time_ms", "shuffle_read_bytes",
+                "shuffle_write_bytes", "num_tasks"} <= set(m.columns)
+        assert m.where("executor_run_time_ms IS NOT NULL").count() == 0
+
+
+_UI_METRICS_SCRIPT = """
+import sys
+sys.path.insert(0, {repo!r})
+from dedup.config import PARITY_CONFIG
+from dedup.pipeline import dedupe_corpus
+from dedup.session import build_session
+from dedup.synth import corpus_pdf
+
+spark = build_session(
+    "metrics-ui", master="local[4]", shuffle_partitions=8,
+    extra_conf={{"spark.ui.enabled": "true", "spark.ui.port": "0"}})
+corpus = spark.createDataFrame(corpus_pdf(80, seed=21))
+tables = dedupe_corpus(spark, corpus, {workdir!r}, PARITY_CONFIG)
+by_stage = {{}}
+for r in tables["metrics"].collect():
+    by_stage.setdefault(r["stage"], r)
+for stage, row in by_stage.items():
+    assert row["executor_run_time_ms"] is not None, stage
+    assert row["num_tasks"] and row["num_tasks"] > 0, stage
+assert by_stage["pairs"]["shuffle_write_bytes"] > 0
+spark.stop()
+print("UI_METRICS_OK")
+"""
+
+
+def test_metrics_rest_telemetry_with_ui_enabled(tmp_path):
+    """M12 for real: a UI-enabled session exposes the monitoring REST API
+    and every non-skipped stage lands task-level telemetry (executor run
+    time, shuffle bytes) in the metrics table. Runs in a subprocess: the
+    suite's shared session (getOrCreate) pins spark.ui.enabled=false."""
+    import subprocess
+    import sys
+    from pathlib import Path
+
+    repo = str(Path(__file__).resolve().parent.parent)
+    script = _UI_METRICS_SCRIPT.format(repo=repo,
+                                       workdir=str(tmp_path / "job"))
+    proc = subprocess.run([sys.executable, "-c", script],
+                          capture_output=True, text=True, timeout=420)
+    assert proc.returncode == 0, proc.stderr[-3000:]
+    assert "UI_METRICS_OK" in proc.stdout
