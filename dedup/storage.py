@@ -68,25 +68,37 @@ class Storage:
             self.spark.sql(
                 f"CREATE NAMESPACE IF NOT EXISTS {self.config.catalog}.{ns}")
 
+    def _is_v1_session_catalog(self) -> bool:
+        """The built-in session catalog without a configured V2
+        implementation supports neither REPLACE TABLE nor v2 appends to
+        non-existent tables — route it to the V1 writer UP FRONT instead of
+        catching AnalysisException around the V2 write (a broad catch would
+        mask real errors — schema mismatch on append, unresolved columns —
+        and silently re-attempt them down a different write path)."""
+        if self.config.catalog != "spark_catalog":
+            return False
+        try:
+            impl = self.spark.conf.get("spark.sql.catalog.spark_catalog")
+        except Exception:
+            return True
+        # Spark 4 reports the default V1 session catalog as 'builtin';
+        # anything else (e.g. an Iceberg SparkSessionCatalog) is a real V2
+        # implementation layered over it
+        return impl is None or impl == "builtin"
+
     def write_table(self, df: DataFrame, ref: str,
                     mode: str = "overwrite") -> None:
         if self.config.catalog:
-            from pyspark.errors import AnalysisException
-
             self._ensure_namespace(ref)
             q = self._qualified(ref)
-            try:
-                # V2 path (Iceberg and other DSv2 catalogs): atomic
-                # create-or-replace / append
-                writer = df.writeTo(q)
-                if mode == "overwrite":
-                    writer.createOrReplace()
-                else:
-                    writer.append()
-            except AnalysisException:
-                # the built-in V1 session catalog supports neither REPLACE
-                # TABLE nor v2 appends to non-existent tables
+            if self._is_v1_session_catalog():
                 df.write.mode(mode).saveAsTable(q)
+            elif mode == "overwrite":
+                # V2 path (Iceberg and other DSv2 catalogs): atomic
+                # create-or-replace / append; real errors propagate
+                df.writeTo(q).createOrReplace()
+            else:
+                df.writeTo(q).append()
             return
         df.write.mode(mode).parquet(ref)
 

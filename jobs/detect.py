@@ -61,6 +61,17 @@ def main() -> None:
     spark = build_session("detect", master=args.master)
     if args.signatures:
         sigs = spark.read.parquet(args.signatures)
+        # a workdir built under a different num_hashes / band split than
+        # the config chosen here would silently yield band keys and scores
+        # computed under mismatched parameters — fail loudly instead
+        from pyspark.sql import functions as F
+        bad = (sigs.where(F.col("minhash").isNotNull())
+               .where(F.size("minhash") != cfg.num_hashes).limit(1).count())
+        if bad:
+            sys.exit(f"--signatures table was built with a different "
+                     f"num_hashes than the selected config "
+                     f"({cfg.num_hashes}); regenerate the workdir or pass "
+                     "the matching --engine-mode flag")
     else:
         sigs = signatures_table(spark.read.parquet(args.corpus), cfg)
 

@@ -183,3 +183,66 @@ def test_m10_pipeline_invalidate_recomputes(spark, tmp_path):
     t3 = p3.run(corpus)
     assert all(not s.skipped for s in p3.stage_infos)
     assert t3["clusters"].count() == n_clusters
+
+
+def _iceberg_jar_available() -> str | None:
+    """Path to an iceberg-spark-runtime jar if one is on this machine."""
+    import glob
+    import os
+    candidates = []
+    for root in (os.environ.get("ICEBERG_JAR_DIR"), "/opt/spark/jars",
+                 "/usr/local/lib", "/root/jars"):
+        if root:
+            candidates += glob.glob(f"{root}/iceberg-spark-runtime*.jar")
+    try:
+        import pyspark
+        candidates += glob.glob(
+            str(Path(pyspark.__file__).parent / "jars"
+                / "iceberg-spark-runtime*.jar"))
+    except Exception:
+        pass
+    return candidates[0] if candidates else None
+
+
+@pytest.mark.skipif(_iceberg_jar_available() is None,
+                    reason="no iceberg-spark-runtime jar in this sandbox — "
+                           "the V2 writeTo/REPLACE branch is covered the "
+                           "day a jar lands")
+def test_storage_iceberg_catalog_roundtrip(tmp_path):
+    """Real Iceberg round-trip through the V2 writeTo path (subprocess:
+    needs its own session with the Iceberg catalog configured)."""
+    import subprocess
+    import sys
+
+    repo = str(Path(__file__).resolve().parent.parent)
+    script = f"""
+import sys
+sys.path.insert(0, {repo!r})
+from dedup.session import build_session
+from dedup.storage import Storage, StorageConfig
+
+spark = build_session("iceberg-it", master="local[2]", shuffle_partitions=2,
+    extra_conf={{
+        "spark.jars": {_iceberg_jar_available()!r},
+        "spark.sql.catalog.ice": "org.apache.iceberg.spark.SparkCatalog",
+        "spark.sql.catalog.ice.type": "hadoop",
+        "spark.sql.catalog.ice.warehouse": {str(tmp_path / "wh")!r},
+    }})
+st = Storage(spark, StorageConfig(catalog="ice"))
+df = spark.range(10).withColumnRenamed("id", "v")
+st.write_table(df, "db.t1")                      # V2 createOrReplace
+assert st.read_table("db.t1").count() == 10
+st.write_table(spark.range(5).withColumnRenamed("id", "v"), "db.t1",
+               mode="append")                    # V2 append
+assert st.read_table("db.t1").count() == 15
+st.write_table(spark.range(3).withColumnRenamed("id", "v"), "db.t1")
+assert st.read_table("db.t1").count() == 3       # atomic REPLACE
+st.invalidate("db.t1")
+assert not st.table_complete("db.t1")
+spark.stop()
+print("ICEBERG_OK")
+"""
+    proc = subprocess.run([sys.executable, "-c", script],
+                          capture_output=True, text=True, timeout=420)
+    assert proc.returncode == 0, proc.stderr[-3000:]
+    assert "ICEBERG_OK" in proc.stdout
