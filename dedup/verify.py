@@ -121,12 +121,20 @@ def verify_pairs(pairs: DataFrame, signatures: DataFrame,
             sims = dots / (na * nb)
             jacs = np.full(n, np.nan, dtype=np.float64)
             if scoring == "jaccard":
+                # shingle arrays are stored sorted+distinct, so the
+                # intersection size is a binary-search count: probe the
+                # smaller array into the larger one with ONE vectorized
+                # searchsorted per pair instead of intersect1d (which
+                # re-sorts the concatenation) — ~5x less work per pair
                 for i, (ha, hb) in enumerate(zip(pdf["_sh_a"], pdf["_sh_b"])):
                     if ha is not None and hb is not None:
                         ia = np.asarray(ha, dtype=np.int64)
                         ib = np.asarray(hb, dtype=np.int64)
-                        inter = np.intersect1d(ia, ib,
-                                               assume_unique=True).size
+                        if ib.size < ia.size:
+                            ia, ib = ib, ia
+                        idx = np.searchsorted(ib, ia)
+                        idx[idx == ib.size] = 0
+                        inter = int(np.count_nonzero(ib[idx] == ia))
                         union = ia.size + ib.size - inter
                         jacs[i] = inter / union if union else 0.0
             keep = (jacs >= j_threshold if scoring == "jaccard"
