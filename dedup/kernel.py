@@ -292,11 +292,21 @@ def build_candidate_stats(search_info: DataFrame,
 
     search_info columns: search_field, search_value, normalized_value,
     candidates_found. Output adds max_similarity (null when the field
-    produced no scored candidates — the reference omits the key)."""
+    produced no scored candidates — the reference omits the key).
+
+    Truncation is the reference's display form exactly: values LONGER than
+    the limit become the first `limit` chars + '...' (main.py:185,192);
+    values at or under the limit pass through unchanged."""
+    def _trunc(col: str, limit: int):
+        c = F.col(col)
+        return (F.when(F.length(c) > limit,
+                       F.concat(F.substring(c, 1, limit), F.lit("...")))
+                .otherwise(c).alias(col))
+
     truncated = search_info.select(
         "search_field",
-        F.substring("search_value", 1, 80).alias("search_value"),
-        F.substring("normalized_value", 1, 50).alias("normalized_value"),
+        _trunc("search_value", 80),
+        _trunc("normalized_value", 50),
         F.col("candidates_found").cast("int").alias("candidates_found"))
     return truncated.join(
         field_max.select("search_field", "max_similarity"),

@@ -514,6 +514,89 @@ def local_ivf_pairs(vec_rows, cos_min: float, bucket_cap: int,
     return out
 
 
+_STREAM_SOURCE = {"u": "url_exact", "b": "lsh", "t": "title",
+                  "d": "description"}
+
+
+def local_stream_pairs(drops, cfg: DedupConfig, state_cap: int = 64):
+    """Single-node replica of streaming.stream_candidate_pairs across a
+    sequence of availableNow drops sharing one checkpoint. `drops` is a
+    list of row-lists (same shapes local_signatures accepts), processed in
+    order; per-bucket state is the sorted member list capped at state_cap —
+    every new arrival pairs with all remembered members while the bucket is
+    small, hot buckets emit one star edge to the minimum member. Returns
+    the DISTINCT (a, b, match_source) rows, sorted."""
+    import bisect
+
+    state: dict[tuple, list[str]] = {}
+    out: set[tuple[str, str, str]] = set()
+    for drop in drops:
+        sigs = local_signatures(drop, cfg)
+        per_key: dict[tuple, set[str]] = defaultdict(set)
+        for url, gk in unified_keys(sigs, cfg):
+            per_key[gk].add(url)
+        for gk, new in per_key.items():
+            members = state.setdefault(gk, [])
+            source = _STREAM_SOURCE[gk[0]]
+            for u in sorted(new - set(members)):
+                if len(members) < state_cap:
+                    for m in members:
+                        out.add((min(m, u), max(m, u), source))
+                    bisect.insort(members, u)
+                elif members:
+                    c0 = members[0]
+                    out.add((min(c0, u), max(c0, u), source))
+    return sorted(out)
+
+
+def local_semantic_dedup(vec_rows, t: float, cell_cap: int,
+                         centroid_mod: int | None = None):
+    """Single-node expectation of queries.q_semantic_dedup: nearest-cell
+    assignment against the bounded centroid subset (argmax over the same
+    normalized matmul), then the greedy keep/drop sweep per cell in vec_id
+    order with 6-dp-rounded cosine decisions — identical numpy ops to the
+    Spark sweep so decisions agree bit-for-bit. Returns sorted
+    (vec_id, cell, keep, rep_id) rows."""
+    ids, vecs = [], []
+    for vid, v in vec_rows:
+        ids.append(int(vid))
+        vecs.append(np.asarray(v, dtype=np.float64))
+    if centroid_mod is None:
+        from dedup.queries import ivf_centroid_mod
+        centroid_mod = ivf_centroid_mod(len(ids))
+    M = np.stack(vecs)
+    cent = [i for i, vid in enumerate(ids) if vid % centroid_mod == 0]
+    cent.sort(key=lambda i: ids[i])
+    C = M[cent]
+    Cn = C / np.linalg.norm(C, axis=1, keepdims=True)
+    Mn = M / np.linalg.norm(M, axis=1, keepdims=True)
+    cell_of = np.argmax(Mn @ Cn.T, axis=1)
+
+    by_cell: dict[int, list[int]] = defaultdict(list)
+    for i, vid in enumerate(ids):
+        by_cell[int(cell_of[i])].append(i)
+    out = []
+    for cell, idxs in by_cell.items():
+        idxs = sorted(idxs, key=lambda i: ids[i])
+        head = idxs[:cell_cap]
+        Mc = np.stack([vecs[i] for i in head])
+        Mcn = Mc / np.linalg.norm(Mc, axis=1, keepdims=True)
+        kept: list[int] = []
+        for pos, i in enumerate(idxs):
+            if pos >= cell_cap:
+                out.append((ids[i], cell, True, -1))
+                continue
+            if kept:
+                sims = np.round(Mcn[kept] @ Mcn[pos], 6)
+                j = int(np.argmax(sims))
+                if sims[j] >= t:
+                    out.append((ids[i], cell, False, ids[head[kept[j]]]))
+                    continue
+            kept.append(pos)
+            out.append((ids[i], cell, True, -1))
+    return sorted(out)
+
+
 def round_half_up(x: float, digits: int) -> float:
     """Spark F.round semantics: BigDecimal(shortest-repr of the double),
     HALF_UP at `digits`. Python's repr is the same shortest-roundtrip

@@ -17,7 +17,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from dedup.cluster import assign_clusters
-from dedup.config import PARITY_CONFIG
+from dedup.config import ENGINE_CONFIG, PARITY_CONFIG
 from dedup.lsh import candidate_pairs
 from dedup.normalize import normalize_url_udf, normalize_title_udf
 from dedup.signature import signatures_table
@@ -835,6 +835,231 @@ def q_events_hourly_topk(spark, sf_dir):
             .limit(10))
 
 
+# --- round-3 coverage queries ----------------------------------------------------
+
+def q_permutation_coeffs(spark, sf_dir):
+    """T4 permutation coefficients (reference app/hash_detector.py:26-40:
+    seed-42 `random.sample` over `list(set(...))` ordering) as a
+    driver-checkable table. Oracle: VALUES fixture frozen from a LIVE
+    import of the reference detector — true bit parity, not shared code."""
+    from dedup.coeffs import load_coeffs
+    A, B = load_coeffs(PARITY_CONFIG.num_hashes, PARITY_CONFIG.seed)
+    rows = [(i, int(a), int(b)) for i, (a, b) in enumerate(zip(A, B))]
+    return (spark.createDataFrame(rows, "i bigint, a bigint, b bigint")
+            .orderBy("i"))
+
+
+def q_minhash_signatures_engine(spark, sf_dir):
+    """Engine-mode signatures: 128 permutations + k-char shingling (§2.6
+    north-star config — the two switches that were pytest-only). Same
+    summary shape as `minhash_signatures`; oracle: VALUES fixture from the
+    independent single-node engine at ENGINE_CONFIG."""
+    c = docs_as_corpus(spark, sf_dir)
+    s = signatures_table(c, ENGINE_CONFIG)
+    return s.select("url",
+                    F.size("minhash").cast("bigint").alias("sig_len"),
+                    F.col("n_tokens").cast("bigint").alias("n_tokens"),
+                    F.get("minhash", 0).alias("sig0"),
+                    "simhash")
+
+
+def q_candidate_stats(spark, sf_dir):
+    """M3 stats assembly + T9e per-field max similarity: run the detection
+    kernel over the kernel_detect pool, then assemble per-field search
+    stats exactly as the reference response layer does (app/main.py:178-204
+    — display truncation with '...', per-field highest similarity joined
+    in, absent for fields that produced no scored candidates). Oracle:
+    VALUES fixture from the REFERENCE's own find_duplicates +
+    build_candidate_stats run on identical inputs."""
+    from dedup.kernel import (SourceMetadata, build_candidate_stats,
+                              candidates_df_from_pools, find_duplicates)
+    from dedup.normalize import normalize_title
+    d = _docs(spark, sf_dir).where("doc_id < 60").orderBy("doc_id").collect()
+    source_text = d[0]["text"]
+    pools = {"title": [
+        {"ref": {"id": f"n{r['doc_id']}"},
+         "properties": {"cclom:title": [r["text"]]}}
+        for r in d
+    ]}
+    cands = candidates_df_from_pools(spark, pools)
+    _, field_max = find_duplicates(
+        SourceMetadata(title=source_text), cands, threshold=0.8)
+    # the ' - Wikipedia' suffix makes normalize_title return the stripped
+    # (long) base title, exercising the 50-char '...' truncation branch
+    search_info = spark.createDataFrame(
+        [("title", source_text,
+          normalize_title(source_text + " - Wikipedia"), len(d)),
+         ("url", "https://example.org/unmatched", None, 0)],
+        "search_field string, search_value string, "
+        "normalized_value string, candidates_found int")
+    return (build_candidate_stats(search_info, field_max)
+            .orderBy("search_field"))
+
+
+def q_config_clamp(spark, sf_dir):
+    """M5 candidate-cap clamp (reference app/main.py:228-248): None -> the
+    configured limit, otherwise min(requested, limit). Real SQL oracle
+    (CASE expression over the same VALUES)."""
+    from dedup.config import get_effective_max_candidates
+    reqs = [None, 0, 1, 5, 39, 40, 41, 100, 10000]
+    rows = [(i, r, get_effective_max_candidates(r))
+            for i, r in enumerate(reqs)]
+    return (spark.createDataFrame(rows,
+                                  "i bigint, requested int, effective int")
+            .orderBy("i"))
+
+
+def q_clusters_incremental(spark, sf_dir):
+    """Incremental clustering equivalence (merge_assignments): cluster the
+    planted-mirror corpus from HALF the verified edges, then merge the
+    other half as a later drop — the final assignment must equal the batch
+    dup_clusters result exactly (same fixture rows), proving the
+    star-compression merge preserves full-graph connectivity and the
+    component-minimum cluster ids."""
+    from dedup.cluster import merge_assignments
+    c = docs_as_corpus(spark, sf_dir)
+    s = signatures_table(c, PARITY_CONFIG)
+    verified = (verify_pairs(candidate_pairs(s, PARITY_CONFIG), s,
+                             PARITY_CONFIG)
+                .where("keep").select("a", "b"))
+    first = verified.where(F.xxhash64("a", "b") % 2 == 0)
+    later = verified.where(F.xxhash64("a", "b") % 2 != 0)
+    base = assign_clusters(c.select("url"), first)
+    return merge_assignments(base, later)
+
+
+def q_stream_pairs(spark, sf_dir):
+    """Stateful streaming candidate pairs (applyInPandasWithState, §2.6)
+    across TWO ordered availableNow drops sharing one checkpoint: even
+    doc_ids land first, odd doc_ids arrive in a second drop, so cross-drop
+    pairs exist only if bucket state really persists between runs. Output
+    is the DISTINCT (a, b, match_source) set. Oracle: VALUES fixture from
+    a single-node replica of the per-bucket state machine processing the
+    same two drops in the same order."""
+    import glob
+    import os
+    import shutil
+    import tempfile
+
+    from dedup.streaming import run_stream_candidate_pairs
+
+    c = docs_as_corpus(spark, sf_dir).select("url", "text", "doc_id")
+    base = tempfile.mkdtemp(prefix="streamq_")
+    src, ckpt, out = f"{base}/src", f"{base}/ckpt", f"{base}/out"
+    os.makedirs(src)
+    schema = "url string, text string"
+    for drop_no, pred in enumerate(("doc_id % 2 = 0", "doc_id % 2 = 1")):
+        # land the drop as ONE flat file in the watched dir (the file
+        # source lists files, not subdirectories)
+        tmp = f"{base}/tmp{drop_no}"
+        (c.where(pred).select("url", "text").coalesce(1)
+         .write.parquet(tmp))
+        part = glob.glob(f"{tmp}/part-*.parquet")[0]
+        shutil.copy(part, f"{src}/drop{drop_no}.parquet")
+        q = run_stream_candidate_pairs(spark, src, ckpt, out, PARITY_CONFIG,
+                                       schema=schema)
+        q.awaitTermination()
+    return (spark.read.parquet(out)
+            .select("a", "b", "match_source").distinct()
+            .orderBy("a", "b", "match_source"))
+
+
+def q_pipeline_resume(spark, sf_dir):
+    """M7 + M10 + §2.6 checkpoint/lineage/resume as a driver row: run the
+    checkpointed pipeline twice in a fresh workdir — the first run computes
+    every stage, the second skips all of them off the lineage manifests.
+    Deterministic, so the oracle is real inline-VALUES SQL."""
+    import tempfile
+
+    from dedup.pipeline import DedupPipeline
+
+    c = docs_as_corpus(spark, sf_dir)
+    wd = tempfile.mkdtemp(prefix="plq_")
+    rows = []
+    for run_no in (0, 1):
+        p = DedupPipeline(spark, wd, PARITY_CONFIG)
+        p.run(c)
+        rows += [(run_no, si.name, si.skipped) for si in p.stage_infos]
+    return (spark.createDataFrame(
+        rows, "run_no int, stage string, skipped boolean")
+        .orderBy("run_no", "stage"))
+
+
+# SemDeDup-style semantic dedup (Abbas et al. 2023, arXiv:2303.09540):
+# cluster the embedding space coarsely, then within each cell greedily keep
+# the lowest-id member of every cosine-ball and drop the rest.
+SEM_DEDUP_T = 0.7
+SEM_CELL_CAP = 4096
+
+
+def q_semantic_dedup(spark, sf_dir):
+    """Semantic dedup over the embeddings table: assign every vector to its
+    nearest bounded-centroid cell (same training-free coarse quantizer as
+    the IVF query, broadcast matrix, one matmul per Arrow batch), then
+    within each cell run the greedy keep/drop sweep in vec_id order: a
+    vector is DROPPED if its cosine to an already-kept vector in the cell
+    is >= SEM_DEDUP_T (rounded 6dp on both sides), recording that keeper as
+    its representative. Cells beyond SEM_CELL_CAP members process only the
+    first cap (documented recall trade, same cap discipline as the pair
+    queries). Oracle: VALUES fixture from the single-node replica.
+
+    Input: the embeddings table plus PLANTED exact clones (vec_id < 50
+    re-appear as vec_id + 100000 with identical vectors — the embedding
+    analog of the corpus's mirror documents), so the sweep provably drops
+    the clones and records their originals as representatives.
+
+    Scale shape: vectors ride ONE shuffle (into their cell — the minimum
+    any within-cell comparison needs), cells are capped, the only
+    driver-side artifact is the <=4096-row centroid matrix, and the greedy
+    sweep is O(cap * kept) BLAS per cell."""
+    base = _emb(spark, sf_dir).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v"))
+    e = base.unionByName(
+        base.where("vec_id < 50")
+        .select((F.col("vec_id") + 100000).alias("vec_id"), "v"))
+    mod = ivf_centroid_mod(e.count())
+    cent_rows = (e.where(F.col("vec_id") % mod == 0)
+                 .orderBy("vec_id").collect())
+    C = np.stack([np.asarray(r["v"]) for r in cent_rows])
+    Cn_bc = spark.sparkContext.broadcast(
+        C / np.linalg.norm(C, axis=1, keepdims=True))
+
+    @F.pandas_udf("int")
+    def cell_udf(vs: pd.Series) -> pd.Series:
+        M = np.stack(vs.to_numpy()).astype(np.float64, copy=False)
+        Mn = M / np.linalg.norm(M, axis=1, keepdims=True)
+        sims = Mn @ Cn_bc.value.T
+        return pd.Series(np.argmax(sims, axis=1).astype(np.int32))
+
+    def sweep(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("vec_id").reset_index(drop=True)
+        head = pdf.iloc[:SEM_CELL_CAP]
+        M = np.stack(head["v"].to_numpy()).astype(np.float64, copy=False)
+        Mn = M / np.linalg.norm(M, axis=1, keepdims=True)
+        kept_idx: list[int] = []
+        rep = np.full(len(pdf), -1, dtype=np.int64)
+        keep = np.ones(len(pdf), dtype=bool)
+        for i in range(len(head)):
+            if kept_idx:
+                sims = np.round(Mn[kept_idx] @ Mn[i], 6)
+                j = int(np.argmax(sims))
+                if sims[j] >= SEM_DEDUP_T:
+                    keep[i] = False
+                    rep[i] = head["vec_id"].iloc[kept_idx[j]]
+                    continue
+            kept_idx.append(i)
+        return pd.DataFrame({"vec_id": pdf["vec_id"],
+                             "cell": pdf["cell"],
+                             "keep": keep,
+                             "rep_id": rep})
+
+    cells = e.withColumn("cell", cell_udf("v"))
+    return (cells.groupBy("cell")
+            .applyInPandas(sweep, "vec_id bigint, cell int, keep boolean, "
+                                  "rep_id bigint")
+            .orderBy("vec_id"))
+
+
 # --- registry --------------------------------------------------------------------
 
 QUERIES = {
@@ -876,6 +1101,14 @@ QUERIES = {
     "events_agg": q_events_agg,
     "events_user_rank": q_events_user_rank,
     "events_hourly_topk": q_events_hourly_topk,
+    "permutation_coeffs": q_permutation_coeffs,
+    "minhash_signatures_engine": q_minhash_signatures_engine,
+    "candidate_stats": q_candidate_stats,
+    "config_clamp": q_config_clamp,
+    "clusters_incremental": q_clusters_incremental,
+    "stream_pairs": q_stream_pairs,
+    "pipeline_resume": q_pipeline_resume,
+    "semantic_dedup": q_semantic_dedup,
 }
 
 # --- fixture oracles --------------------------------------------------------------
@@ -1127,6 +1360,23 @@ ORACLE_SQL = {
         "WHEN tm.t_title IS NOT NULL OR tm.t_desc IS NOT NULL THEN 'title' "
         "ELSE NULL END AS enrichment_source "
         "FROM s LEFT JOIN um USING (record_id) LEFT JOIN tm USING (record_id)"),
+    # M5 clamp: same VALUES the Spark query enumerates, CASE as the rule
+    "config_clamp": (
+        "SELECT CAST(i AS BIGINT) AS i, CAST(requested AS INTEGER) AS requested, "
+        "CAST(CASE WHEN requested IS NULL THEN 40 "
+        "WHEN requested < 40 THEN requested ELSE 40 END AS INTEGER) AS effective "
+        "FROM (VALUES (0, NULL), (1, 0), (2, 1), (3, 5), (4, 39), (5, 40), "
+        "(6, 41), (7, 100), (8, 10000)) AS t(i, requested) ORDER BY i"),
+    # checkpoint/resume contract: first run computes all four stages,
+    # second run skips all four off the lineage manifests
+    "pipeline_resume": (
+        "SELECT CAST(run_no AS INTEGER) AS run_no, stage, "
+        "CAST(skipped AS BOOLEAN) AS skipped FROM (VALUES "
+        "(0, 'signatures', false), (0, 'pairs', false), "
+        "(0, 'verified', false), (0, 'clusters', false), "
+        "(1, 'signatures', true), (1, 'pairs', true), "
+        "(1, 'verified', true), (1, 'clusters', true)) "
+        "AS t(run_no, stage, skipped) ORDER BY run_no, stage"),
 }
 
 # VALUES-fixture oracles for the non-SQL-expressible queries (see

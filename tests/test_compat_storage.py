@@ -28,18 +28,23 @@ def test_m3_candidate_stats_truncation(spark):
     from dedup.kernel import build_candidate_stats
     long = "x" * 200
     info = spark.createDataFrame(
-        [("title", long, long, 7), ("url", "short", None, 0)],
+        [("title", long, long, 7), ("url", "short", None, 0),
+         ("description", "y" * 80, "y" * 50, 3)],
         "search_field string, search_value string, "
         "normalized_value string, candidates_found int")
     fmax = spark.createDataFrame(
         [("title", 0.9876)], "search_field string, max_similarity double")
     rows = {r["search_field"]: r
             for r in build_candidate_stats(info, fmax).collect()}
-    assert len(rows["title"]["search_value"]) == 80
-    assert len(rows["title"]["normalized_value"]) == 50
+    # reference display form: first-N chars + '...' when longer than N
+    assert rows["title"]["search_value"] == "x" * 80 + "..."
+    assert rows["title"]["normalized_value"] == "x" * 50 + "..."
     assert rows["title"]["max_similarity"] == 0.9876
     assert rows["url"]["max_similarity"] is None
     assert rows["url"]["search_value"] == "short"
+    # boundary: exactly at the limit -> unchanged (reference tests len > N)
+    assert rows["description"]["search_value"] == "y" * 80
+    assert rows["description"]["normalized_value"] == "y" * 50
 
 
 def test_storage_parquet_roundtrip_and_invalidate(spark, tmp_path):

@@ -80,6 +80,8 @@ def test_fixture_file_exists_and_covers_expected_queries():
         "media_features", "media_dup_pairs", "embedding_knn_lsh",
         "embedding_knn_ivf", "dedupe_one_url", "dedupe_by_metadata",
         "kernel_detect", "metadata_block_pairs", "url_normalize_youtube",
+        "permutation_coeffs", "minhash_signatures_engine", "candidate_stats",
+        "clusters_incremental", "stream_pairs", "semantic_dedup",
     }
     for name, d in data.items():
         assert d["rows"], f"{name} fixture is empty"
@@ -137,6 +139,13 @@ def test_local_verify_threshold_semantics():
         [("u1", "u2", "lsh"), ("u1", "u3", "lsh"), ("u2", "u3", "url_exact")],
         sigs, cfg)
     by_pair = {(a, b): (sim, keep) for a, b, _, sim, _, keep in verified}
-    assert by_pair[("u1", "u2")] == (1.0, True)
+    # u1 == u2 byte-identical -> identical signatures; the expected score is
+    # the REFERENCE formula on that vector (np.dot self-cosine is 1.0 only
+    # up to the platform BLAS's ULP — parity means same-formula, not ==1.0)
+    import numpy as np
+    v = next(s.minhash for s in sigs if s.url == "u1").astype(np.float64)
+    self_cos = float(np.dot(v, v) / (np.linalg.norm(v) * np.linalg.norm(v)))
+    assert by_pair[("u1", "u2")] == (self_cos, True)
+    assert by_pair[("u1", "u2")][0] >= 0.999999999
     assert by_pair[("u2", "u3")] == (1.0, True)  # url_exact bypass
     assert not by_pair[("u1", "u3")][1] or by_pair[("u1", "u3")][0] >= 0.9

@@ -31,7 +31,7 @@ REPO = Path(__file__).resolve().parent.parent
 sys.path.insert(0, str(REPO))
 
 from dedup import local_oracle as lo  # noqa: E402
-from dedup.config import PARITY_CONFIG  # noqa: E402
+from dedup.config import ENGINE_CONFIG, PARITY_CONFIG  # noqa: E402
 
 OUT_PATH = REPO / "dedup" / "fixtures" / "oracle_sf001.json"
 REFERENCE_PATH = "/root/reference"
@@ -237,7 +237,147 @@ def gen_fixtures(sf_dir: str) -> dict:
                     ["raw_url", "VARCHAR"], ["norm_url", "VARCHAR"]],
         "rows": yt_rows,
     }
+
+    # --- permutation_coeffs: oracle is the LIVE reference detector's (a, b)
+    fixtures["permutation_coeffs"] = {
+        "columns": [["i", "BIGINT"], ["a", "BIGINT"], ["b", "BIGINT"]],
+        "rows": reference_coeffs(),
+    }
+
+    # --- minhash_signatures_engine: 128-perm + k-char shingling config
+    eng_sigs = lo.local_signatures([(u, t) for u, t, _ in rows],
+                                   ENGINE_CONFIG)
+    fixtures["minhash_signatures_engine"] = {
+        "columns": [["url", "VARCHAR"], ["sig_len", "BIGINT"],
+                    ["n_tokens", "BIGINT"], ["sig0", "BIGINT"],
+                    ["simhash", "BIGINT"]],
+        "rows": [[s.url,
+                  len(s.minhash) if s.minhash is not None else None,
+                  s.n_tokens,
+                  int(s.minhash[0]) if s.minhash is not None else None,
+                  s.simhash]
+                 for s in eng_sigs],
+    }
+
+    # --- candidate_stats: field similarities from the LIVE reference
+    # kernel; stats layer per app/main.py:178-204
+    fixtures["candidate_stats"] = {
+        "columns": [["search_field", "VARCHAR"], ["search_value", "VARCHAR"],
+                    ["normalized_value", "VARCHAR"],
+                    ["candidates_found", "INTEGER"],
+                    ["max_similarity", "DOUBLE"]],
+        "rows": candidate_stats_expected(sf_dir),
+    }
+
+    # --- clusters_incremental: must equal the BATCH clustering exactly
+    # (merge_assignments over a split edge set is equivalence-tested
+    # against the full recompute)
+    fixtures["clusters_incremental"] = {
+        "columns": [["url", "VARCHAR"], ["cluster_id", "VARCHAR"]],
+        "rows": fixtures["dup_clusters"]["rows"],
+    }
+
+    # --- stream_pairs: two ordered drops (even doc_ids, then odd) through
+    # the single-node replica of the stateful-streaming bucket machine
+    drops = [[(u, t) for u, t, d in rows if d % 2 == 0],
+             [(u, t) for u, t, d in rows if d % 2 == 1]]
+    fixtures["stream_pairs"] = {
+        "columns": [["a", "VARCHAR"], ["b", "VARCHAR"],
+                    ["match_source", "VARCHAR"]],
+        "rows": [list(t) for t in lo.local_stream_pairs(drops, cfg)],
+    }
+
+    # --- semantic_dedup (SemDeDup-style greedy keep/drop per IVF cell);
+    # input = embeddings + planted exact clones (vec_id < 50 -> +100000)
+    from dedup.queries import SEM_CELL_CAP, SEM_DEDUP_T
+    emb_planted = list(emb) + [(vid + 100000, v)
+                               for vid, v in emb if vid < 50]
+    fixtures["semantic_dedup"] = {
+        "columns": [["vec_id", "BIGINT"], ["cell", "INTEGER"],
+                    ["keep", "BOOLEAN"], ["rep_id", "BIGINT"]],
+        "rows": [list(t) for t in lo.local_semantic_dedup(
+            emb_planted, SEM_DEDUP_T, SEM_CELL_CAP)],
+    }
     return fixtures
+
+
+def reference_coeffs() -> list[list[int]]:
+    """(i, a, b) from a LIVE import of the reference MinHashDetector
+    (app/hash_detector.py:26-40) at the parity config (k=100, seed=42)."""
+    if "loguru" not in sys.modules:
+        stub = types.ModuleType("loguru")
+
+        class _Noop:
+            def __getattr__(self, name):
+                return lambda *a, **k: None
+
+        stub.logger = _Noop()
+        sys.modules["loguru"] = stub
+    if REFERENCE_PATH not in sys.path:
+        sys.path.insert(0, REFERENCE_PATH)
+    import app.hash_detector as hash_detector
+    det = hash_detector.MinHashDetector(num_hashes=PARITY_CONFIG.num_hashes,
+                                        seed=PARITY_CONFIG.seed)
+    return [[i, int(a), int(b)]
+            for i, (a, b) in enumerate(zip(det.coeff_a, det.coeff_b))]
+
+
+def candidate_stats_expected(sf_dir: str) -> list[list]:
+    """Expected candidate-stats rows: run the reference's find_duplicates
+    on the kernel_detect pool for the per-field max similarities, then
+    apply the response-layer assembly semantics of app/main.py:178-204
+    (transcribed here — app.main itself imports fastapi, absent in this
+    sandbox): search_value > 80 chars -> first 80 + '...', normalized
+    value > 50 -> first 50 + '...', highest similarity joined per field,
+    absent (None) for fields without scored candidates."""
+    if "loguru" not in sys.modules:
+        stub = types.ModuleType("loguru")
+
+        class _Noop:
+            def __getattr__(self, name):
+                return lambda *a, **k: None
+
+        stub.logger = _Noop()
+        sys.modules["loguru"] = stub
+    if REFERENCE_PATH not in sys.path:
+        sys.path.insert(0, REFERENCE_PATH)
+    import app.hash_detector as hash_detector
+    import app.models as models
+
+    from dedup.normalize import normalize_title
+
+    con = duckdb.connect()
+    df = con.execute(
+        f"SELECT doc_id, text FROM '{sf_dir}/documents.parquet' "
+        "WHERE doc_id < 60 ORDER BY doc_id").df()
+    pools = {"title": [
+        {"ref": {"id": f"n{int(doc_id)}"},
+         "properties": {"cclom:title": [text]}}
+        for doc_id, text in zip(df["doc_id"], df["text"])
+    ]}
+    detector = hash_detector.MinHashDetector(num_hashes=100, seed=42)
+    source_text = df["text"].iloc[0]
+    meta = models.ContentMetadata(title=source_text)
+    _, field_sims = detector.find_duplicates(meta, pools, threshold=0.8)
+
+    search_info = {
+        "title": {"search_value": source_text,
+                  "normalized_search": normalize_title(
+                      source_text + " - Wikipedia"),
+                  "count": len(df)},
+        "url": {"search_value": "https://example.org/unmatched",
+                "normalized_search": None, "count": 0},
+    }
+    rows = []
+    for field, info in search_info.items():
+        sv = info["search_value"]
+        if sv and len(sv) > 80:
+            sv = sv[:80] + "..."
+        ns = info["normalized_search"]
+        if ns and len(ns) > 50:
+            ns = ns[:50] + "..."
+        rows.append([field, sv, ns, info["count"], field_sims.get(field)])
+    return sorted(rows)
 
 
 def load_reference_models():
