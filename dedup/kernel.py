@@ -198,7 +198,8 @@ def find_duplicates(source: SourceMetadata, candidates: DataFrame,
 
 def dedupe_metadata(signatures: DataFrame, source: SourceMetadata,
                     cfg: DedupConfig | None = None,
-                    threshold: float | None = None) -> DataFrame:
+                    threshold: float | None = None,
+                    key_index: DataFrame | None = None) -> DataFrame:
     """Ad-hoc by-metadata query at corpus scale — the reference's
     `/detect/hash/by-metadata` (app/main.py:534-613): the source document is
     NOT in the corpus; its signature and blocking keys are computed
@@ -248,7 +249,9 @@ def dedupe_metadata(signatures: DataFrame, source: SourceMetadata,
         band_keys = [xxh64_band_key(i, src_sig[i * r:(i + 1) * r])
                      for i in range(b)]
     from dedup.lsh import key_rank_col, match_source_from_rank
-    cands = (unified_group_keys(signatures, cfg)
+    keys = (key_index if key_index is not None
+            else unified_group_keys(signatures, cfg))
+    cands = (keys
              .where(F.col("gk_band").isin(band_keys)
                     | F.col("gk_url").isin(sorted(src_norms))
                     | F.col("gk_txt").isin(txt_keys))
@@ -314,7 +317,8 @@ def build_candidate_stats(search_info: DataFrame,
 
 
 def dedupe_one(signatures: DataFrame, url: str,
-               cfg: DedupConfig | None = None) -> DataFrame:
+               cfg: DedupConfig | None = None,
+               key_index: DataFrame | None = None) -> DataFrame:
     """Per-key corpus query — the reference's `/detect/hash/by-node`
     (app/main.py:499-531) against the corpus signatures table: point-lookup
     the source row, restrict candidates to documents sharing any LSH band
@@ -330,9 +334,12 @@ def dedupe_one(signatures: DataFrame, url: str,
     Scale shape: the source's ~b+2 keys are computed driver-side from the
     single collected row (band hashes via the same xxHash64 the executors
     use) and pushed into a key-list filter over the exploded key table —
-    one scan, no join against the full signatures table carries arrays. At
-    production scale the exploded (url, gk) table is a persisted inverted
-    index and this becomes an index lookup + key semi-join.
+    one scan, no join against the full signatures table carries arrays.
+    Pass `key_index` (the persisted inverted key table built by
+    DedupPipeline.run(build_key_index=True) — range-partitioned and sorted
+    by key, so the IN-list filter prunes parquet row groups via min/max
+    stats) to skip re-exploding the signatures per query; without it the
+    keys are derived on the fly.
     """
     from dataclasses import replace
 
@@ -362,7 +369,9 @@ def dedupe_one(signatures: DataFrame, url: str,
         if src["desc_key"] is not None:
             txt_keys.append(f"d:{src['desc_key']}")
 
-    cands = (unified_group_keys(signatures, cfg)
+    keys = (key_index if key_index is not None
+            else unified_group_keys(signatures, cfg))
+    cands = (keys
              .where(F.col("gk_band").isin(band_keys)
                     | F.col("gk_url").isin(url_keys)
                     | F.col("gk_txt").isin(txt_keys))

@@ -39,6 +39,8 @@ from dedup.storage import Storage
 from dedup.verify import verify_pairs
 
 STAGES = ("signatures", "pairs", "verified", "clusters")
+# optional stages that only exist when requested (still invalidated)
+OPTIONAL_STAGES = ("keys",)
 
 
 @dataclass
@@ -151,7 +153,7 @@ class DedupPipeline:
         reference's /admin/cache/clear (app/main.py:620-668): drops every
         stage table + manifest so the next run() recomputes from scratch
         even with resume=True."""
-        for stage in STAGES + ("metrics",):
+        for stage in STAGES + OPTIONAL_STAGES + ("metrics",):
             self.storage.invalidate(self._stage_ref(stage))
             mp = self._manifest_path(stage)
             if mp.exists():
@@ -159,12 +161,20 @@ class DedupPipeline:
         self.stage_infos.clear()
 
     # --- stages -------------------------------------------------------------
-    def run(self, corpus: DataFrame) -> dict[str, DataFrame]:
+    def run(self, corpus: DataFrame,
+            build_key_index: bool = False) -> dict[str, DataFrame]:
         """corpus(url, warc_ts, html[, text, lang]) -> table dict.
 
         Extraction and signing are ONE Arrow pass and one materialization;
         the `extracted` table is a columnar projection of the signatures
-        parquet (text column read without touching the arrays)."""
+        parquet (text column read without touching the arrays).
+
+        With `build_key_index`, an extra `keys` stage persists the exploded
+        inverted key table (url, gk_band, gk_url, gk_txt) range-partitioned
+        and sorted by key: per-document queries (`dedupe_one` /
+        `dedupe_metadata` / jobs/detect.py --key-index) then resolve their
+        ~b+2-key IN-list against parquet min/max stats instead of
+        re-exploding the signatures table per query."""
         has_html = "html" in corpus.columns
         signatures = self._run_stage(
             "signatures",
@@ -173,6 +183,15 @@ class DedupPipeline:
                 extract_html_col="html" if has_html else None,
                 emit_text=True))
         extracted = signatures.select("url", "text")
+        keys = None
+        if build_key_index:
+            from dedup.lsh import unified_group_keys
+            keys = self._run_stage(
+                "keys",
+                lambda: unified_group_keys(signatures, self.cfg)
+                .repartitionByRange(self.cfg.shuffle_partitions,
+                                    "gk_band", "gk_url", "gk_txt")
+                .sortWithinPartitions("gk_band", "gk_url", "gk_txt"))
         pairs = self._run_stage(
             "pairs",
             lambda: candidate_pairs(
@@ -187,7 +206,7 @@ class DedupPipeline:
                 extracted.select("url"),
                 verified.where("keep").select("a", "b")),
         )
-        return {
+        out = {
             "extracted": extracted,
             "signatures": signatures,
             "pairs": pairs,
@@ -195,6 +214,9 @@ class DedupPipeline:
             "clusters": clusters,
             "metrics": self.storage.read_table(self._stage_ref("metrics")),
         }
+        if keys is not None:
+            out["keys"] = keys
+        return out
 
 
 def dedupe_corpus(spark: SparkSession, corpus: DataFrame | str, workdir: str,

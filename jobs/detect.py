@@ -37,6 +37,10 @@ def main() -> None:
     ap.add_argument("--corpus", help="corpus parquet (url, text[, html])")
     ap.add_argument("--signatures",
                     help="precomputed signatures table (pipeline workdir)")
+    ap.add_argument("--key-index",
+                    help="persisted inverted key table (workdir 'keys' "
+                         "stage from DedupPipeline.run(build_key_index="
+                         "True)); skips re-exploding signatures per query")
     ap.add_argument("--threshold", type=float, default=None)
     ap.add_argument("--max-candidates", type=int, default=None,
                     help="cap on returned duplicates (M5 clamp applies)")
@@ -75,15 +79,17 @@ def main() -> None:
     else:
         sigs = signatures_table(spark.read.parquet(args.corpus), cfg)
 
+    key_index = (spark.read.parquet(args.key_index)
+                 if args.key_index else None)
     if args.url:
-        result = dedupe_one(sigs, args.url, cfg)
+        result = dedupe_one(sigs, args.url, cfg, key_index=key_index)
     else:
         result = dedupe_metadata(
             sigs,
             SourceMetadata(title=args.title, description=args.description,
                            url=args.source_url,
                            redirect_url=args.redirect_url),
-            cfg)
+            cfg, key_index=key_index)
     limit = get_effective_max_candidates(args.max_candidates)
     for row in result.limit(limit).collect():
         print(json.dumps({"node_url": row["node_url"],
