@@ -896,6 +896,21 @@ def q_candidate_stats(spark, sf_dir):
             .orderBy("search_field"))
 
 
+def q_dup_clusters_engine(spark, sf_dir):
+    """FULL engine-mode pipeline as a driver row — the north-star config
+    end-to-end: 128-permutation MinHash over k-char shingles, 32x4 LSH
+    banding, SimHash Hamming prefilter on candidate pairs, exact-Jaccard
+    verification (scoring='jaccard'), connected-components clusters.
+    Oracle: VALUES fixture from the single-node engine running the same
+    stages (tools/gen_oracle_fixtures.py engine_clusters_expected)."""
+    c = docs_as_corpus(spark, sf_dir)
+    s = signatures_table(c, ENGINE_CONFIG)
+    pairs = candidate_pairs(s, ENGINE_CONFIG, use_simhash_prefilter=True)
+    verified = verify_pairs(pairs, s, ENGINE_CONFIG)
+    return assign_clusters(c.select("url"),
+                           verified.where("keep").select("a", "b"))
+
+
 def q_config_clamp(spark, sf_dir):
     """M5 candidate-cap clamp (reference app/main.py:228-248): None -> the
     configured limit, otherwise min(requested, limit). Real SQL oracle
@@ -1103,6 +1118,7 @@ QUERIES = {
     "events_hourly_topk": q_events_hourly_topk,
     "permutation_coeffs": q_permutation_coeffs,
     "minhash_signatures_engine": q_minhash_signatures_engine,
+    "dup_clusters_engine": q_dup_clusters_engine,
     "candidate_stats": q_candidate_stats,
     "config_clamp": q_config_clamp,
     "clusters_incremental": q_clusters_incremental,

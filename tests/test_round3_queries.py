@@ -124,6 +124,24 @@ def test_candidate_stats_reference_semantics(spark):
     assert rows["url"]["max_similarity"] is None
 
 
+def test_dup_clusters_engine_mirrors_cluster_together(spark):
+    """Engine-mode e2e (char shingles + SimHash prefilter + exact Jaccard):
+    every planted mirror must land in its original's cluster, and the
+    cluster id is the component minimum url."""
+    from dedup.queries import q_dup_clusters_engine
+
+    assign = {r["url"]: r["cluster_id"]
+              for r in q_dup_clusters_engine(spark, SF).collect()}
+    for url, cid in assign.items():
+        if url.startswith("https://mirror.net/copy/"):
+            doc_id = url.rsplit("/", 1)[1]
+            twins = [u for u in assign
+                     if u.endswith(f"/docs/{doc_id}")
+                     and assign[u] == cid]
+            assert twins, f"mirror {url} not clustered with its original"
+        assert cid <= url  # component-minimum id
+
+
 def test_key_index_stage_and_point_queries(spark, tmp_path):
     """DedupPipeline(build_key_index=True) persists the inverted key table;
     dedupe_one / dedupe_metadata through it return the same rows as the

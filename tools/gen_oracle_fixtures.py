@@ -259,6 +259,27 @@ def gen_fixtures(sf_dir: str) -> dict:
                  for s in eng_sigs],
     }
 
+    # --- dup_clusters_engine: FULL engine-mode pipeline (128-perm char
+    # shingles, SimHash prefilter, exact-Jaccard verify, union-find)
+    sim_of = {s.url: s.simhash for s in eng_sigs}
+    eng_pairs = []
+    for a, b, src in lo.local_candidate_pairs(eng_sigs, ENGINE_CONFIG):
+        if src != "url_exact":
+            sa, sb = sim_of.get(a), sim_of.get(b)
+            if sa is None or sb is None:
+                continue  # Spark prefilter inner-joins the simhash table
+            if bin((sa ^ sb) & lo._M64).count("1") > \
+                    ENGINE_CONFIG.simhash_hamming_max:
+                continue
+        eng_pairs.append((a, b, src))
+    eng_verified = lo.local_verify(eng_pairs, eng_sigs, ENGINE_CONFIG)
+    eng_edges = [(a, b) for a, b, _, _, _, keep in eng_verified if keep]
+    fixtures["dup_clusters_engine"] = {
+        "columns": [["url", "VARCHAR"], ["cluster_id", "VARCHAR"]],
+        "rows": [list(t) for t in lo.union_find_clusters(
+            [s.url for s in eng_sigs], eng_edges)],
+    }
+
     # --- candidate_stats: field similarities from the LIVE reference
     # kernel; stats layer per app/main.py:178-204
     fixtures["candidate_stats"] = {
