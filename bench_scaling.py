@@ -193,6 +193,8 @@ emission on hot buckets.
 | 60k docs, x4 tokens | local[2] 416 d/s | local[8] 1205 d/s | 0.72 | round 1, pre single-pass fusion |
 | 100k docs, x4 tokens | local[2] 431 d/s | local[8] 1320 d/s | 0.77 | round 1, fused extract+sign |
 | 100k docs, x4 tokens | local[2] 413 d/s | local[8] 1346 d/s | 0.815 | round 1 final |
+| 100k docs, x8 tokens, 64 files | local[2] 291 d/s | local[8] 912 d/s | 0.78 | round 2, BLAS pinned, coarse splits |
+| 100k docs, x8 tokens, 512 files | local[2] 270 d/s | local[8] 885 d/s | **0.819** | round 2 final (fine-grained splits: >= 16 task waves/level) |
 
 ## Headline bench (driver contract)
 

@@ -79,3 +79,30 @@ def test_exact_dup_groups_is_single_aggregation(spark):
     from dedup.queries import q_exact_dup_groups
     plan = _plan(q_exact_dup_groups(spark, SF))
     assert "CartesianProduct" not in plan and "Join" not in plan
+
+
+def test_semantic_dedup_is_one_shuffle_no_join(spark):
+    # cell assignment is a projection (broadcast-variable matmul, no join);
+    # the sweep is ONE groupBy-cell shuffle into applyInPandas — any Join
+    # or cartesian in this plan means vectors are being re-joined
+    from dedup.queries import q_semantic_dedup
+    plan = _plan(q_semantic_dedup(spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan and "BroadcastHashJoin" not in plan
+    assert "FlatMapGroupsInPandas" in plan
+
+
+def test_key_index_lookup_prunes_with_in_filters(spark, sigs, tmp_path):
+    # the persisted inverted key table must serve a point query through
+    # pushed IN-filters on the key columns, not a full rescan + re-derive
+    from dedup.lsh import unified_group_keys
+    path = str(tmp_path / "keys")
+    (unified_group_keys(sigs, PARITY_CONFIG)
+     .repartitionByRange(4, "gk_band", "gk_url", "gk_txt")
+     .sortWithinPartitions("gk_band", "gk_url", "gk_txt")
+     .write.parquet(path))
+    keys = spark.read.parquet(path)
+    probe = keys.where(F.col("gk_band").isin([1, 2, 3])
+                       | F.col("gk_url").isin(["x"]))
+    plan = _plan(probe)
+    assert "PushedFilters" in plan and "In(gk_band" in plan.replace("\n", "")

@@ -33,7 +33,8 @@ def _spin(seconds: float, out, idx: int) -> None:
     out[idx] = n
 
 
-def spin_total(procs: int, seconds: float) -> int:
+def spin_total(procs: int, seconds: float) -> tuple[int, int]:
+    """-> (total iterations, best single-process iterations)."""
     out = mp.Array("q", procs)
     ps = [mp.Process(target=_spin, args=(seconds, out, i))
           for i in range(procs)]
@@ -41,7 +42,7 @@ def spin_total(procs: int, seconds: float) -> int:
         p.start()
     for p in ps:
         p.join()
-    return int(sum(out))
+    return int(sum(out)), int(max(out))
 
 
 def read_steal_ticks() -> int | None:
@@ -62,12 +63,21 @@ def main() -> None:
 
     steal_before = read_steal_ticks()
     t0 = time.monotonic()
-    iters = {p: spin_total(p, args.seconds) for p in args.levels}
+    totals: dict[int, int] = {}
+    best_single = 0
+    for p in args.levels:
+        total, single = spin_total(p, args.seconds)
+        totals[p] = total
+        best_single = max(best_single, single)
     wall = time.monotonic() - t0
     steal_after = read_steal_ticks()
 
-    base = iters[args.levels[0]] / args.levels[0]
-    effective = {p: round(iters[p] / base, 2) for p in args.levels}
+    # Baseline = the FASTEST single process observed at ANY level, not the
+    # 1-core probe alone: a steal burst during the baseline window would
+    # otherwise inflate every effective-core estimate (a 12 s probe once
+    # reported "79 effective cores of 32" exactly that way).
+    iters = totals
+    effective = {p: round(totals[p] / best_single, 2) for p in args.levels}
     tick_hz = os.sysconf("SC_CLK_TCK")
     steal_sec = (None if steal_before is None or steal_after is None
                  else (steal_after - steal_before) / tick_hz)
