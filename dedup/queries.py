@@ -934,9 +934,11 @@ def q_clusters_incremental(spark, sf_dir):
     from dedup.cluster import merge_assignments
     c = docs_as_corpus(spark, sf_dir)
     s = signatures_table(c, PARITY_CONFIG)
+    # both splits read the verified edges; localCheckpoint materializes the
+    # expensive verify DAG once instead of once per split-consumer
     verified = (verify_pairs(candidate_pairs(s, PARITY_CONFIG), s,
                              PARITY_CONFIG)
-                .where("keep").select("a", "b"))
+                .where("keep").select("a", "b").localCheckpoint())
     first = verified.where(F.xxhash64("a", "b") % 2 == 0)
     later = verified.where(F.xxhash64("a", "b") % 2 != 0)
     base = assign_clusters(c.select("url"), first)
@@ -981,9 +983,11 @@ def q_stream_pairs(spark, sf_dir):
 
 def q_pipeline_resume(spark, sf_dir):
     """M7 + M10 + §2.6 checkpoint/lineage/resume as a driver row: run the
-    checkpointed pipeline twice in a fresh workdir — the first run computes
-    every stage, the second skips all of them off the lineage manifests.
-    Deterministic, so the oracle is real inline-VALUES SQL."""
+    checkpointed pipeline three times in a fresh workdir — run 0 computes
+    every stage, run 1 skips all of them off the lineage manifests, then
+    `invalidate()` (the reference's /admin/cache/clear analog,
+    app/main.py:620-668) drops every checkpoint so run 2 recomputes from
+    scratch. Deterministic, so the oracle is real inline-VALUES SQL."""
     import tempfile
 
     from dedup.pipeline import DedupPipeline
@@ -991,8 +995,10 @@ def q_pipeline_resume(spark, sf_dir):
     c = docs_as_corpus(spark, sf_dir)
     wd = tempfile.mkdtemp(prefix="plq_")
     rows = []
-    for run_no in (0, 1):
+    for run_no in (0, 1, 2):
         p = DedupPipeline(spark, wd, PARITY_CONFIG)
+        if run_no == 2:
+            p.invalidate()
         p.run(c)
         rows += [(run_no, si.name, si.skipped) for si in p.stage_infos]
     return (spark.createDataFrame(
@@ -1383,15 +1389,18 @@ ORACLE_SQL = {
         "WHEN requested < 40 THEN requested ELSE 40 END AS INTEGER) AS effective "
         "FROM (VALUES (0, NULL), (1, 0), (2, 1), (3, 5), (4, 39), (5, 40), "
         "(6, 41), (7, 100), (8, 10000)) AS t(i, requested) ORDER BY i"),
-    # checkpoint/resume contract: first run computes all four stages,
-    # second run skips all four off the lineage manifests
+    # checkpoint/resume contract: run 0 computes all four stages, run 1
+    # skips all four off the lineage manifests, invalidate() (M10) forces
+    # run 2 to recompute all four
     "pipeline_resume": (
         "SELECT CAST(run_no AS INTEGER) AS run_no, stage, "
         "CAST(skipped AS BOOLEAN) AS skipped FROM (VALUES "
         "(0, 'signatures', false), (0, 'pairs', false), "
         "(0, 'verified', false), (0, 'clusters', false), "
         "(1, 'signatures', true), (1, 'pairs', true), "
-        "(1, 'verified', true), (1, 'clusters', true)) "
+        "(1, 'verified', true), (1, 'clusters', true), "
+        "(2, 'signatures', false), (2, 'pairs', false), "
+        "(2, 'verified', false), (2, 'clusters', false)) "
         "AS t(run_no, stage, skipped) ORDER BY run_no, stage"),
 }
 
