@@ -976,9 +976,11 @@ def q_stream_pairs(spark, sf_dir):
         q = run_stream_candidate_pairs(spark, src, ckpt, out, PARITY_CONFIG,
                                        schema=schema)
         q.awaitTermination()
-    return (spark.read.parquet(out)
-            .select("a", "b", "match_source").distinct()
-            .orderBy("a", "b", "match_source"))
+    result = (spark.read.parquet(out)
+              .select("a", "b", "match_source").distinct()
+              .orderBy("a", "b", "match_source").localCheckpoint())
+    shutil.rmtree(base, ignore_errors=True)
+    return result
 
 
 def q_pipeline_resume(spark, sf_dir):
@@ -1001,6 +1003,8 @@ def q_pipeline_resume(spark, sf_dir):
             p.invalidate()
         p.run(c)
         rows += [(run_no, si.name, si.skipped) for si in p.stage_infos]
+    import shutil
+    shutil.rmtree(wd, ignore_errors=True)
     return (spark.createDataFrame(
         rows, "run_no int, stage string, skipped boolean")
         .orderBy("run_no", "stage"))

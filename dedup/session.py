@@ -52,14 +52,21 @@ def build_session(app_name: str = "dedup-spark",
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
-        # CPU-heavy Arrow stages need many input splits: the 128 MB default
-        # packs a few-hundred-MB corpus into a handful of tasks, starving
-        # cores. 8 MB splits (and an equal open-cost so small files are not
-        # re-packed) keeps scan parallelism >= cores at any corpus size; at
-        # petabyte scale raise via DEDUP_MAX_PARTITION_BYTES.
+        # CPU-heavy Arrow stages need many input splits: on a LOCAL few-GB
+        # corpus the 128 MB default packs everything into a handful of
+        # tasks, starving cores — so local mode uses 8 MB splits (with an
+        # equal open-cost so small files are not re-packed). Cluster mode
+        # keeps Spark's default: at 100 TB an 8 MB split size would mean
+        # ~12M scan tasks of pure scheduler overhead. Override either way
+        # via DEDUP_MAX_PARTITION_BYTES.
         .config("spark.sql.files.maxPartitionBytes",
-                os.environ.get("DEDUP_MAX_PARTITION_BYTES", str(8 * 1024 * 1024)))
-        .config("spark.sql.files.openCostInBytes", str(8 * 1024 * 1024))
+                os.environ.get(
+                    "DEDUP_MAX_PARTITION_BYTES",
+                    str(8 * 1024 * 1024) if master.startswith("local")
+                    else str(128 * 1024 * 1024)))
+        .config("spark.sql.files.openCostInBytes",
+                str(8 * 1024 * 1024) if master.startswith("local")
+                else str(4 * 1024 * 1024))
         # verification joins a slim pair table against the wide signatures
         # table; letting the pair side broadcast (up to 64 MB) keeps the
         # signature arrays out of the shuffle entirely. AQE still falls back
