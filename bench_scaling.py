@@ -57,9 +57,24 @@ t0 = time.monotonic()
 tables = dedupe_corpus(spark, corpus, workdir, PARITY_CONFIG, resume=False)
 n_clusters = tables["clusters"].select("cluster_id").distinct().count()
 wall = time.monotonic() - t0
+
+# dup-pair recall vs planted ground truth (truth_cluster >= 0 families
+# must co-cluster; north rule demands >= 0.99) — OUTSIDE the timed window
+from pyspark.sql import functions as F
+j = (corpus.select("url", "truth_cluster").where("truth_cluster >= 0")
+     .join(tables["clusters"], "url"))
+found = (j.groupBy("truth_cluster", "cluster_id")
+         .agg(F.count("*").alias("m"))
+         .select(F.sum(F.expr("m * (m - 1) / 2")).alias("p"))
+         .collect()[0]["p"])
+total = (j.groupBy("truth_cluster").agg(F.count("*").alias("s"))
+         .select(F.sum(F.expr("s * (s - 1) / 2")).alias("p"))
+         .collect()[0]["p"])
+recall = float(found) / float(total) if total else 1.0
 print(json.dumps({{"cores": cores, "n_docs": n_docs, "wall_sec": round(wall, 2),
                    "docs_per_sec": round(n_docs / wall, 2),
-                   "n_clusters": n_clusters}}))
+                   "n_clusters": n_clusters,
+                   "dup_pair_recall": round(recall, 5)}}))
 spark.stop()
 """
 
@@ -113,6 +128,14 @@ def main() -> None:
             if best is None or r["docs_per_sec"] > best["docs_per_sec"]:
                 best = r
         results[cores] = best
+    # determinism across parallelism: the SAME input must produce the SAME
+    # cluster count at every core count — partition-count-invariance of the
+    # whole pipeline (banding, pair emission, verify, CC)
+    n_clusters = {r["n_clusters"] for r in results.values()}
+    if len(n_clusters) != 1:
+        raise SystemExit(f"cluster count varies across core counts: "
+                         f"{ {c: r['n_clusters'] for c, r in results.items()} }")
+    recalls = {r.get("dup_pair_recall") for r in results.values()}
     pairs = [(n, 4 * n) for n in LEVELS if 4 * n in results]
     effs = {
         f"{n}_to_{m}": round(
@@ -128,6 +151,9 @@ def main() -> None:
                             "docs_per_sec": r["docs_per_sec"]}
                    for c, r in results.items()},
         "efficiencies": effs,
+        "dup_pair_recall": (max(r for r in recalls if r is not None)
+                            if any(r is not None for r in recalls) else None),
+        "n_clusters": next(iter(n_clusters)),
         "effective_cores_of_32": (steal or {}).get(
             "effective_cores_at_level", {}).get("32"),
         "steal_sec_during_12s_probe": (steal or {}).get("steal_sec_during_run"),
@@ -166,6 +192,11 @@ families + 5% hot-band boilerplate), fresh JVM per run, best of
 | N -> 4N pair | efficiency = tput(4N) / (4 x tput(N)) |
 |---|---|
 {effs}
+
+Dup-pair recall vs planted ground truth at this scale:
+**{s.get('dup_pair_recall', 'n/a')}** (north rule >= 0.99); cluster count
+{s.get('n_clusters', 'n/a')} is IDENTICAL at every core count
+(partition-count invariance of the full pipeline, asserted by this script).
 
 Target >= 0.8. The 2 -> 8 pair measures the ENGINE inside this VM's linear
 region. The 8 -> 32 pair is reported for completeness but is HARDWARE-capped:
