@@ -59,7 +59,8 @@ n_clusters = tables["clusters"].select("cluster_id").distinct().count()
 wall = time.monotonic() - t0
 
 # dup-pair recall vs planted ground truth (truth_cluster >= 0 families
-# must co-cluster; north rule demands >= 0.99) — OUTSIDE the timed window
+# must co-cluster; north rule demands >= 0.99) — OUTSIDE the timed
+# window. truth ids are globally unique (shard-offset in synth).
 from pyspark.sql import functions as F
 j = (corpus.select("url", "truth_cluster").where("truth_cluster >= 0")
      .join(tables["clusters"], "url"))

@@ -270,6 +270,12 @@ def write_corpus(spark, path: str, n_docs: int, seed: int = 42,
                 # internal structure (www./protocol variants still collapse)
                 sp["url"] = sp["url"].str.replace(
                     ".example.", f".s{int(shard)}.example.", regex=False)
+                # truth ids are shard-local counters: offset them into
+                # disjoint ranges so (truth_cluster) is GLOBALLY unique —
+                # url-host shard markers can't disambiguate youtube-form
+                # urls, so downstream recall math needs this
+                mask = sp["truth_cluster"] >= 0
+                sp.loc[mask, "truth_cluster"] += (int(shard) + 1) * 10_000_000
                 yield sp
 
     schema = ("url string, warc_ts timestamp, html binary, text string, "
