@@ -120,6 +120,38 @@ def _lang_oracle_sql() -> str:
             f"SELECT doc_id, {', '.join(names)}, {case} AS pred_lang FROM h")
 
 
+def q_quality_filter(spark, sf_dir):
+    """Composable quality gate — the training-pipeline FILTER stage: every
+    document gets keep/drop plus the FIRST failing rule (too_short <20
+    tokens, too_long >90, no_stopwords), all native CASE over integer
+    counters so the decision is exactly reproducible in SQL. Real DuckDB
+    oracle."""
+    stop = "('the','a','of','and','to','in','is','it','for','on')"
+    d = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.expr(f"size({_TOKENS})").cast("bigint").alias("n_tokens"),
+        F.expr(f"size(filter(split(lower(text), '\\\\s+'), x -> x in {stop}))")
+        .cast("bigint").alias("n_stop"))
+    reason = (F.when(F.col("n_tokens") < 20, F.lit("too_short"))
+              .when(F.col("n_tokens") > 90, F.lit("too_long"))
+              .when(F.col("n_stop") == 0, F.lit("no_stopwords"))
+              .otherwise(F.lit(None).cast("string")))
+    return d.select("doc_id", "n_tokens", "n_stop",
+                    reason.isNull().alias("keep"),
+                    reason.alias("drop_reason"))
+
+
+def q_top_terms(spark, sf_dir):
+    """Corpus vocabulary top-k (training-pipeline token statistics):
+    explode tokens -> global counts -> top 25, ties broken by term. The
+    groupBy benefits from partial (map-side) aggregation, so the shuffle
+    carries one row per distinct term per partition, not one per token."""
+    toks = _docs(spark, sf_dir).select(
+        F.explode(F.expr(_TOKENS)).alias("term"))
+    return (toks.groupBy("term").agg(F.count(F.lit(1)).alias("n"))
+            .orderBy(F.desc("n"), F.asc("term")).limit(25))
+
+
 # --- normalization --------------------------------------------------------------
 
 def q_url_normalize(spark, sf_dir):
@@ -1090,6 +1122,8 @@ def q_semantic_dedup(spark, sf_dir):
 QUERIES = {
     "token_count": q_token_count,
     "text_quality": q_text_quality,
+    "quality_filter": q_quality_filter,
+    "top_terms": q_top_terms,
     "lang_stopword_scores": q_lang_stopword_scores,
     "url_normalize": q_url_normalize,
     "url_normalize_youtube": q_url_normalize_youtube,
@@ -1386,6 +1420,24 @@ ORACLE_SQL = {
         "WHEN tm.t_title IS NOT NULL OR tm.t_desc IS NOT NULL THEN 'title' "
         "ELSE NULL END AS enrichment_source "
         "FROM s LEFT JOIN um USING (record_id) LEFT JOIN tm USING (record_id)"),
+    "quality_filter": (
+        "WITH c AS (SELECT doc_id, "
+        f"CAST(len({_DUCK_TOKENS}) AS BIGINT) AS n_tokens, "
+        "CAST(len(list_filter(string_split_regex(lower(text), '\\s+'), "
+        "x -> x in ('the','a','of','and','to','in','is','it','for','on'))) "
+        "AS BIGINT) AS n_stop FROM documents) "
+        "SELECT doc_id, n_tokens, n_stop, "
+        "(CASE WHEN n_tokens < 20 THEN 'too_short' "
+        "WHEN n_tokens > 90 THEN 'too_long' "
+        "WHEN n_stop = 0 THEN 'no_stopwords' END) IS NULL AS keep, "
+        "CASE WHEN n_tokens < 20 THEN 'too_short' "
+        "WHEN n_tokens > 90 THEN 'too_long' "
+        "WHEN n_stop = 0 THEN 'no_stopwords' END AS drop_reason "
+        "FROM c"),
+    "top_terms": (
+        f"WITH t AS (SELECT unnest({_DUCK_TOKENS}) AS term FROM documents) "
+        "SELECT term, count(*) AS n FROM t GROUP BY term "
+        "ORDER BY n DESC, term ASC LIMIT 25"),
     # M5 clamp: same VALUES the Spark query enumerates, CASE as the rule
     "config_clamp": (
         "SELECT CAST(i AS BIGINT) AS i, CAST(requested AS INTEGER) AS requested, "

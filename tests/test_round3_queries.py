@@ -87,7 +87,8 @@ def test_stream_pairs_matches_replica(spark):
                for a, b, _ in got)
 
 
-@pytest.mark.parametrize("name", ["config_clamp", "pipeline_resume"])
+@pytest.mark.parametrize("name", ["config_clamp", "pipeline_resume",
+                                  "quality_filter", "top_terms"])
 def test_inline_sql_oracles_match(spark, name):
     """The two new inline-VALUES oracles replicate the driver compare."""
     from tests.harness_oracle import compare_query, duck_connection
