@@ -169,6 +169,94 @@ def run_stream_candidate_pairs(spark, source_dir: str, checkpoint_dir: str,
             .start())
 
 
+def ingest_drop(spark, source_dir: str, workdir: str, cfg: DedupConfig,
+                state_ttl_ms: int | None = None,
+                schema: str = ("url string, warc_ts timestamp, "
+                               "html binary, text string, lang string")):
+    """End-to-end INCREMENTAL dedup over crawl drops: one call processes
+    whatever new files appeared in `source_dir` and folds them into a
+    maintained cluster assignment — the streaming counterpart of the batch
+    pipeline, built from the same operators.
+
+    Per availableNow cycle:
+    1. the signatures stream appends the new documents' signatures to
+       `workdir/signatures` (stateless Arrow pass, parquet append);
+    2. the stateful candidate-pair stream emits new intra- AND cross-drop
+       candidate pairs (bucket state persists in `workdir/ckpt_pairs`);
+       its foreachBatch sink verifies each micro-batch against the
+       accumulated signatures table (reference cosine / engine Jaccard —
+       the same verify_pairs) and merges kept edges into
+       `workdir/assignments` via cluster.merge_assignments, so only the
+       touched components are re-solved;
+    3. documents never seen in an edge enter as singletons.
+
+    Returns the updated assignments DataFrame (url, cluster_id). At drop
+    sizes << corpus size the CC work is O(drop + touched clusters), not a
+    full recompute; semantics match the batch pipeline whenever no bucket
+    exceeds the streaming state cap (hot buckets degrade to the same
+    star-edge connectivity the batch path uses). Storage note: the
+    assignments rewrite is whole-table parquet in this sandbox; on an
+    Iceberg deployment merge_assignments' touched/untouched split maps to
+    a MERGE INTO that rewrites only the affected files."""
+    from pathlib import Path
+
+    from dedup.cluster import merge_assignments
+    from dedup.verify import verify_pairs
+
+    sig_dir = f"{workdir}/signatures"
+    q1 = (stream_signatures(
+        spark.readStream.schema(schema).parquet(source_dir)
+        .select("url", "text"), cfg)
+        .writeStream.format("parquet")
+        .option("path", sig_dir)
+        .option("checkpointLocation", f"{workdir}/ckpt_sigs")
+        .outputMode("append").trigger(availableNow=True).start())
+    q1.awaitTermination()
+
+    assign_dir = f"{workdir}/assignments"
+
+    def fold(batch_df, batch_id):
+        sigs = spark.read.parquet(sig_dir)
+        verified = (verify_pairs(batch_df, sigs, cfg)
+                    .where("keep").select("a", "b"))
+        if Path(assign_dir).exists():
+            assignments = spark.read.parquet(assign_dir)
+        else:
+            assignments = sigs.select(
+                "url", F.col("url").alias("cluster_id"))
+        new_urls = (sigs.select("url")
+                    .join(assignments.select("url"), "url", "left_anti")
+                    .select("url", F.col("url").alias("cluster_id")))
+        merged = (merge_assignments(assignments.unionByName(new_urls),
+                                    verified)
+                  .localCheckpoint())  # materialize BEFORE overwriting
+        merged.write.mode("overwrite").parquet(assign_dir)
+
+    src = spark.readStream.schema(schema).parquet(source_dir)
+    q2 = (stream_candidate_pairs(src.select("url", "text"), cfg,
+                                 state_ttl_ms=state_ttl_ms)
+          .writeStream.foreachBatch(fold)
+          .option("checkpointLocation", f"{workdir}/ckpt_pairs")
+          .outputMode("append").trigger(availableNow=True).start())
+    q2.awaitTermination()
+
+    # a drop whose documents hit no blocking bucket emits no micro-batch
+    # at all — enter those documents as singletons
+    sigs = spark.read.parquet(sig_dir)
+    if Path(assign_dir).exists():
+        assignments = spark.read.parquet(assign_dir)
+        missing = (sigs.select("url")
+                   .join(assignments.select("url"), "url", "left_anti")
+                   .select("url", F.col("url").alias("cluster_id"))
+                   .localCheckpoint())
+        if missing.count():
+            missing.write.mode("append").parquet(assign_dir)
+    else:
+        (sigs.select("url", F.col("url").alias("cluster_id"))
+         .write.mode("overwrite").parquet(assign_dir))
+    return spark.read.parquet(assign_dir)
+
+
 def run_file_stream_dedup(spark, source_dir: str, checkpoint_dir: str,
                           output_dir: str, cfg: DedupConfig,
                           schema: str = ("url string, warc_ts timestamp, "
