@@ -68,6 +68,11 @@ def main() -> None:
             QUERIES["events_agg"](spark, sf),
         "embedding_knn (native fold dot product + window top-k)":
             QUERIES["embedding_knn"](spark, sf),
+        "semantic_dedup (broadcast-matmul cell assign, ONE join-free "
+        "groupBy shuffle into the greedy sweep)":
+            QUERIES["semantic_dedup"](spark, sf),
+        "quality_filter (pure CASE over integer counters — codegen)":
+            QUERIES["quality_filter"](spark, sf),
     }
     out = ["# Physical plans (captured by tools/dump_plans.py)", ""]
     for title, df in sections.items():
