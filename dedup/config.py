@@ -92,6 +92,19 @@ class DedupConfig:
         return hashlib.md5(payload.encode()).hexdigest()
 
 
+# config fields the blocking-key space depends on: a key index built under
+# one value set is valid for ANY threshold/scoring, but not across these
+KEY_CONFIG_FIELDS = ("num_hashes", "seed", "shingle_size", "char_shingles",
+                     "char_shingle_size", "lsh_bands", "lsh_rows")
+
+
+def key_config(cfg_or_dict) -> dict:
+    """The blocking-key-relevant slice of a config (dataclass or the dict a
+    lineage manifest recorded)."""
+    d = cfg_or_dict if isinstance(cfg_or_dict, dict) else asdict(cfg_or_dict)
+    return {f: d.get(f) for f in KEY_CONFIG_FIELDS}
+
+
 def get_effective_max_candidates(requested: int | None,
                                  limit: int = REF_MAX_CANDIDATES) -> int:
     """M5 candidate-cap clamp (reference app/main.py:228-248): None ->

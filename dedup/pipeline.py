@@ -88,8 +88,10 @@ class DedupPipeline:
 
     def _write_manifest(self, stage: str, rows: int, wall_ms: float,
                         n_partitions: int) -> None:
+        from dataclasses import asdict
         self._manifest_path(stage).write_text(json.dumps({
             "job_key": self.job_key,
+            "config": asdict(self.cfg),
             "stage": stage,
             "status": "complete",
             "rows": rows,

@@ -79,8 +79,23 @@ def main() -> None:
     else:
         sigs = signatures_table(spark.read.parquet(args.corpus), cfg)
 
-    key_index = (spark.read.parquet(args.key_index)
-                 if args.key_index else None)
+    key_index = None
+    if args.key_index:
+        # a key index materializes config-dependent band hashes; a workdir
+        # lineage manifest (written next to the stage) pins the config it
+        # was built under — refuse a mismatched one instead of silently
+        # probing wrong buckets
+        manifest = Path(args.key_index).parent / "_lineage" / "keys.json"
+        if manifest.exists():
+            from dedup.config import key_config
+            man = json.loads(manifest.read_text())
+            recorded = man.get("config")
+            if recorded is not None and key_config(recorded) != key_config(cfg):
+                sys.exit("--key-index was built under a different "
+                         "signature/banding config "
+                         f"({key_config(recorded)} != {key_config(cfg)}); "
+                         "rebuild it or match --engine-mode")
+        key_index = spark.read.parquet(args.key_index)
     if args.url:
         result = dedupe_one(sigs, args.url, cfg, key_index=key_index)
     else:
