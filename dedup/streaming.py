@@ -38,6 +38,24 @@ def stream_exact_dedup(stream_corpus: DataFrame,
             .dropDuplicatesWithinWatermark([key]))
 
 
+def stream_windowed_counts(stream_corpus: DataFrame,
+                           watermark: str = "30 minutes",
+                           window: str = "1 hour",
+                           ts_col: str = "warc_ts") -> DataFrame:
+    """Watermarked tumbling-window ingest counts per language — the
+    canonical late-data windowed aggregation (crawl-monitoring analog of
+    the reference's request-rate middleware, app/main.py:120-160). Rows
+    later than the watermark are dropped by the engine; in append mode a
+    window finalizes (emits once) when the watermark passes its end."""
+    return (stream_corpus
+            .withWatermark(ts_col, watermark)
+            .groupBy(F.window(ts_col, window).alias("win"), "lang")
+            .agg(F.count(F.lit(1)).alias("n_docs"))
+            .select(F.col("win.start").alias("win_start"),
+                    F.col("win.end").alias("win_end"),
+                    "lang", "n_docs"))
+
+
 PAIR_OUTPUT_SCHEMA = "a string, b string, match_source string"
 _PAIR_STATE_SCHEMA = "members array<string>, last_seen_ms bigint"
 

@@ -108,6 +108,56 @@ class TestStreaming:
                 np.array(row["minhash"], dtype=np.float64), expect)
 
 
+class TestWindowedCounts:
+    def test_watermarked_window_finalizes_and_drops_late(self, spark,
+                                                         tmp_path):
+        """Append-mode windowed agg: a window emits once its end passes
+        the watermark, and a row later than the watermark is DROPPED (the
+        late-data contract)."""
+        import datetime as dt
+
+        from dedup.streaming import stream_windowed_counts
+
+        def ts(h, m=0):
+            return dt.datetime(2026, 1, 1, h, m)
+
+        src = tmp_path / "src"
+        src.mkdir()
+        ckpt, out = str(tmp_path / "ckpt"), str(tmp_path / "out")
+        schema = "url string, warc_ts timestamp, lang string"
+
+        def run_drop(rows, name):
+            spark.createDataFrame(rows, schema).coalesce(1) \
+                .write.parquet(str(tmp_path / name))
+            import glob
+            import shutil
+            part = glob.glob(str(tmp_path / name / "part-*.parquet"))[0]
+            shutil.copy(part, str(src / f"{name}.parquet"))
+            q = (stream_windowed_counts(
+                spark.readStream.schema(schema).parquet(str(src)),
+                watermark="30 minutes", window="1 hour")
+                .writeStream.format("parquet")
+                .option("path", out).option("checkpointLocation", ckpt)
+                .outputMode("append").trigger(availableNow=True).start())
+            q.awaitTermination(120)
+
+        # drop 1: two full hours of data; watermark advances to 11:30
+        run_drop([(f"u{i}", ts(9, 5 * i), "en") for i in range(4)]
+                 + [("v0", ts(10, 10), "de"), ("w0", ts(12, 0), "en")],
+                 "d1")
+        # drop 2: a LATE row at 9:40 (before watermark 11:30) must be
+        # dropped; a fresh 12:30 row keeps the 12:00 window open
+        run_drop([("late", ts(9, 40), "en"), ("x0", ts(12, 30), "en")],
+                 "d2")
+        got = {(r["win_start"].hour, r["lang"]): r["n_docs"]
+               for r in spark.read.parquet(out).collect()}
+        # 9:00 and 10:00 windows finalized with drop-1 counts only
+        assert got[(9, "en")] == 4
+        assert got[(10, "de")] == 1
+        # the 12:00 window has not finalized (watermark <= its end)
+        assert (12, "en") not in got
+
+
 class TestStreamingStateTTL:
     def test_window_expiry_drops_stale_members_and_repairs(self, spark,
                                                            tmp_path):
