@@ -14,6 +14,7 @@ from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
 from pathlib import Path
@@ -86,6 +87,12 @@ def run_bench(sf_dir: str, cpus: int, shuffle_partitions: int | None = None,
     timings = {s: min(t[s] for t in pipe_trials) for s in PIPELINE_STAGES}
     spreads = {s: round(max(t[s] for t in pipe_trials) - timings[s], 3)
                for s in PIPELINE_STAGES}
+    # median alongside best-of-k: a robust central metric so cross-round
+    # comparisons between differently-noisy sessions don't hinge on the
+    # luckiest trial (for even k this is the usual midpoint of the two
+    # central order statistics)
+    medians = {s: round(statistics.median(t[s] for t in pipe_trials), 3)
+               for s in PIPELINE_STAGES}
     pipeline_sec = sum(timings.values())
 
     for name in OPERATOR_QUERIES:
@@ -97,6 +104,7 @@ def run_bench(sf_dir: str, cpus: int, shuffle_partitions: int | None = None,
             walls.append(round(time.monotonic() - t0, 3))
         timings[name] = min(walls)
         spreads[name] = round(max(walls) - min(walls), 3)
+        medians[name] = round(statistics.median(walls), 3)
 
     total = round(sum(timings.values()), 3)
     result = {
@@ -105,6 +113,7 @@ def run_bench(sf_dir: str, cpus: int, shuffle_partitions: int | None = None,
         "unit": "sec",
         "queries": timings,
         "trial_spread": spreads,
+        "median": medians,
         "trials": trials,
         "sf": sf_dir.rstrip("/").rsplit("sf", 1)[-1],
         **counts,

@@ -35,8 +35,12 @@ TRIALS = int(os.environ.get("SCALING_TRIALS", "2"))
 # 64-file corpus gives 32 cores only 2 task waves and stragglers dominate;
 # 512 files -> >= 16 waves at every level measured here
 PARTITIONS = int(os.environ.get("SCALING_PARTITIONS", "512"))
-CORPUS = (f"/tmp/dedup_scaling_corpus_{N_DOCS}_x{TOKEN_SCALE:g}"
-          f"_p{PARTITIONS}")
+# v2: synth gained globally-unique truth_cluster ids (shard offset); the
+# version token forces regeneration of any corpus cached under the old
+# format, whose colliding shard-local truth ids would skew dup_pair_recall
+CORPUS_FORMAT = "v2"
+CORPUS = (f"/tmp/dedup_scaling_corpus_{CORPUS_FORMAT}_{N_DOCS}"
+          f"_x{TOKEN_SCALE:g}_p{PARTITIONS}")
 
 _RUN_ONE = r"""
 import json, shutil, sys, time

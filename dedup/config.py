@@ -52,6 +52,16 @@ class DedupConfig:
     threshold: float = REF_THRESHOLD
     scoring: str = "cosine"                       # "cosine" (parity) | "jaccard" (engine)
     jaccard_threshold: float = 0.8                # engine-mode exact-Jaccard cut
+    # jaccard mode: pairs whose MinHash Jaccard ESTIMATE (fraction of equal
+    # signature components — free, native, already joined for cosine) falls
+    # below (jaccard_threshold - this margin) are rejected WITHOUT ever
+    # joining the 10-100x wider shingle arrays. The estimate is
+    # Binomial(num_hashes, J)/num_hashes: at k=128, a true-J=0.8 pair
+    # estimating below 0.5 is an 8.5-sigma event (~1e-13), so the margin is
+    # recall-neutral in practice while pruning most LSH false positives
+    # before the expensive exact verify. Deterministic (pure function of the
+    # signatures), replicated exactly by the single-node oracle.
+    jaccard_prefilter_margin: float = 0.3
 
     # LSH banding: bands * rows must == num_hashes
     lsh_bands: int = 50
@@ -90,6 +100,16 @@ class DedupConfig:
         """
         payload = json.dumps(asdict(self), sort_keys=True)
         return hashlib.md5(payload.encode()).hexdigest()
+
+
+def minhash_prefilter_min_equal(cfg: DedupConfig) -> int:
+    """Jaccard-mode prefilter cut as an INTEGER component count (exact on
+    both the Spark and oracle sides — no float comparison): a pair survives
+    iff at least this many of its num_hashes MinHash components are equal."""
+    import math
+
+    cut = max(0.0, cfg.jaccard_threshold - cfg.jaccard_prefilter_margin)
+    return int(math.ceil(cut * cfg.num_hashes))
 
 
 # config fields the blocking-key space depends on: a key index built under

@@ -55,6 +55,21 @@ class SourceMetadata:
     redirect_url: str | None = None
 
 
+def _require_shingles(signatures: DataFrame) -> None:
+    """scoring='jaccard' needs real shingle arrays. A parity-slim table
+    still carries the column (all null, keep_shingles=False), so probe one
+    signed row — silently-empty results would otherwise masquerade as
+    'no duplicates'."""
+    probe = None
+    if "shingles" in signatures.columns:
+        probe = (signatures.where(F.col("minhash").isNotNull())
+                 .select("shingles").first())
+    if probe is None or probe["shingles"] is None:
+        raise ValueError(
+            "scoring='jaccard' needs a signatures table with shingle "
+            "arrays (build it under an engine config / keep_shingles=True)")
+
+
 def _precedence_extract(props_col, keys: tuple[str, ...]):
     """First-present-KEY extraction: a present key with a null/empty value
     STOPS the chain (the reference `break`s on key presence, not on value
@@ -199,7 +214,8 @@ def find_duplicates(source: SourceMetadata, candidates: DataFrame,
 def dedupe_metadata(signatures: DataFrame, source: SourceMetadata,
                     cfg: DedupConfig | None = None,
                     threshold: float | None = None,
-                    key_index: DataFrame | None = None) -> DataFrame:
+                    key_index: DataFrame | None = None,
+                    scoring: str | None = None) -> DataFrame:
     """Ad-hoc by-metadata query at corpus scale — the reference's
     `/detect/hash/by-metadata` (app/main.py:534-613): the source document is
     NOT in the corpus; its signature and blocking keys are computed
@@ -208,17 +224,29 @@ def dedupe_metadata(signatures: DataFrame, source: SourceMetadata,
     semi-join as `dedupe_one`, and scoring is the reference cosine against
     the broadcast source signature.
 
-    Returns (node_url, similarity, match_source) like `dedupe_one`."""
+    Returns (node_url, similarity, match_source) like `dedupe_one`.
+
+    `scoring` mirrors dedupe_one: None/"cosine" (default) keeps the
+    reference cosine decision; "jaccard" scores candidates by exact
+    Jaccard of their shingle arrays against the source's shingle set
+    (computed driver-side) and thresholds on cfg.jaccard_threshold —
+    the similarity column then carries the Jaccard."""
     from dedup.local_oracle import xxh64_band_key
     from dedup.lsh import unified_group_keys
     from dedup.normalize import description_block_key, title_block_keys
+    from dedup.signature import (char_shingle_hashes, shingle_hashes,
+                                 tokenize)
     from dedup.verify import cosine_similarity
 
     cfg = cfg or DedupConfig()
+    use_jaccard = scoring == "jaccard"
+    if use_jaccard:
+        _require_shingles(signatures)
     # an explicit threshold of 0.0 means "keep everything" here (engine
     # API); only the parity kernel find_duplicates replicates the
     # reference's `threshold or default` quirk (app/hash_detector.py:187)
-    threshold = cfg.threshold if threshold is None else threshold
+    if threshold is None:
+        threshold = cfg.jaccard_threshold if use_jaccard else cfg.threshold
     spark = signatures.sparkSession
 
     has_title = is_valid_field(source.title)
@@ -272,11 +300,39 @@ def dedupe_metadata(signatures: DataFrame, source: SourceMetadata,
                     src_sig_f64, np.asarray(mh, dtype=np.float64)))
         return pd.Series(out, dtype="float64")
 
-    joined = cands.join(signatures.select("url", "minhash"), "url")
+    if use_jaccard:
+        words = tokenize(" ".join(parts))
+        sh_set = ((char_shingle_hashes(words, cfg.char_shingle_size)
+                   if cfg.char_shingles
+                   else shingle_hashes(words, cfg.shingle_size))
+                  if words else set())
+        src_sh = np.sort(np.fromiter(sh_set, dtype=np.int64,
+                                     count=len(sh_set)))
+
+        @F.pandas_udf(DoubleType())
+        def jac_udf(shingle_arrays: pd.Series) -> pd.Series:
+            out = []
+            for sh in shingle_arrays:
+                if sh is None or src_sh.size == 0:
+                    out.append(None)
+                    continue
+                cand = np.asarray(sh, dtype=np.int64)
+                idx = np.searchsorted(src_sh, cand)
+                np.minimum(idx, src_sh.size - 1, out=idx)
+                inter = int(np.count_nonzero(src_sh[idx] == cand))
+                union = cand.size + src_sh.size - inter
+                out.append(inter / union if union else 0.0)
+            return pd.Series(out, dtype="float64")
+
+        joined = cands.join(signatures.select("url", "shingles"), "url")
+        score_expr = jac_udf("shingles")
+    else:
+        joined = cands.join(signatures.select("url", "minhash"), "url")
+        score_expr = cos_udf("minhash")
     scored = joined.select(
         F.col("url").alias("node_url"),
         F.when(F.col("_rank") == 0, F.lit(1.0))
-        .otherwise(cos_udf("minhash")).alias("similarity"),
+        .otherwise(score_expr).alias("similarity"),
         match_source_from_rank(F.col("_rank")).alias("match_source"))
     return (scored
             .where(F.col("similarity").isNotNull())
@@ -318,7 +374,8 @@ def build_candidate_stats(search_info: DataFrame,
 
 def dedupe_one(signatures: DataFrame, url: str,
                cfg: DedupConfig | None = None,
-               key_index: DataFrame | None = None) -> DataFrame:
+               key_index: DataFrame | None = None,
+               scoring: str | None = None) -> DataFrame:
     """Per-key corpus query — the reference's `/detect/hash/by-node`
     (app/main.py:499-531) against the corpus signatures table: point-lookup
     the source row, restrict candidates to documents sharing any LSH band
@@ -340,6 +397,13 @@ def dedupe_one(signatures: DataFrame, url: str,
     by key, so the IN-list filter prunes parquet row groups via min/max
     stats) to skip re-exploding the signatures per query; without it the
     keys are derived on the fly.
+
+    `scoring` picks the keep semantics: None/"cosine" (default) is the
+    reference cosine decision regardless of cfg.scoring, so the two
+    per-document CLI modes stay consistent under --engine-mode;
+    "jaccard" opts into engine exact-Jaccard keep semantics (requires a
+    signatures table that kept the shingle arrays) and then the returned
+    `similarity` column carries the exact Jaccard, rounded to 4 dp.
     """
     from dataclasses import replace
 
@@ -381,14 +445,21 @@ def dedupe_one(signatures: DataFrame, url: str,
     pairs = cands.select(
         F.lit(url).alias("a"), F.col("url").alias("b"),
         match_source_from_rank(F.col("_rank")).alias("match_source"))
-    # keep-decision is ALWAYS reference cosine here, regardless of engine
+    # keep-decision DEFAULTS to reference cosine regardless of engine
     # scoring mode — dedupe_metadata filters by cosine too, so the two
-    # per-document query modes stay consistent under --engine-mode
-    verified = verify_pairs(pairs, signatures,
-                            replace(cfg, scoring="cosine")).where("keep")
+    # per-document query modes stay consistent under --engine-mode; an
+    # explicit scoring="jaccard" opts both modes into exact-Jaccard keeps
+    use_jaccard = scoring == "jaccard"
+    if use_jaccard:
+        _require_shingles(signatures)
+    verified = verify_pairs(
+        pairs, signatures,
+        replace(cfg, scoring="jaccard" if use_jaccard else "cosine")
+    ).where("keep")
+    score_col = "jaccard" if use_jaccard else "similarity"
     return (verified.select(
         F.col("b").alias("node_url"),
-        F.round("similarity", 4).alias("similarity"),
+        F.round(score_col, 4).alias("similarity"),
         "match_source")
         .orderBy(F.desc("similarity"), F.asc("node_url")))
 

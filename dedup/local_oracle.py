@@ -228,7 +228,18 @@ def local_candidate_pairs(sigs: list[DocSig],
 
 def local_verify(pairs, sigs: list[DocSig], cfg: DedupConfig):
     """(a, b, match_source) -> (a, b, match_source, similarity, jaccard,
-    keep) with the reference cosine formula (app/hash_detector.py:153)."""
+    keep) with the reference cosine formula (app/hash_detector.py:153).
+
+    Jaccard (engine) mode replicates the Spark verify stage's MinHash-
+    estimate prefilter (dedup/verify.py): a pair whose equal-component
+    count falls below minhash_prefilter_min_equal(cfg) is rejected with
+    NULL scores and never has its exact Jaccard computed. The exact
+    intersection here deliberately uses np.intersect1d — an implementation
+    INDEPENDENT of the engine's flattened-searchsorted kernel, so the two
+    sides cross-check each other."""
+    from dedup.config import minhash_prefilter_min_equal
+
+    min_equal = minhash_prefilter_min_equal(cfg)
     by_url = {s.url: s for s in sigs}
     out = []
     for a, b, source in pairs:
@@ -238,6 +249,10 @@ def local_verify(pairs, sigs: list[DocSig], cfg: DedupConfig):
         sa, sb = by_url.get(a), by_url.get(b)
         if sa is None or sb is None or sa.minhash is None or sb.minhash is None:
             continue
+        if cfg.scoring == "jaccard":
+            if int(np.count_nonzero(sa.minhash == sb.minhash)) < min_equal:
+                out.append((a, b, source, None, None, False))
+                continue
         va = sa.minhash.astype(np.float64)
         vb = sb.minhash.astype(np.float64)
         sim = float(np.dot(va, vb) / (np.linalg.norm(va) * np.linalg.norm(vb)))
@@ -485,6 +500,54 @@ def local_ivf_pairs(vec_rows, cos_min: float, bucket_cap: int,
     cent = [i for i, vid in enumerate(ids) if vid % centroid_mod == 0]
     cent.sort(key=lambda i: ids[i])
     C = M[cent]
+    Cn = C / np.linalg.norm(C, axis=1, keepdims=True)
+    Mn = M / np.linalg.norm(M, axis=1, keepdims=True)
+    sims = Mn @ Cn.T
+    top = np.argsort(-sims, axis=1, kind="stable")[:, :nprobe]
+    member_rows = []
+    for i, vid in enumerate(ids):
+        for cell in top[i]:
+            member_rows.append((int(cell), str(vid)))
+    raw = {(a, b) for _, a, b in pairs_from_groups(member_rows, bucket_cap)}
+    pairs = {(min(int(a), int(b)), max(int(a), int(b))) for a, b in raw}
+    by_id = {vid: vecs[i] for i, vid in enumerate(ids)}
+
+    def fold_dot(x, y):
+        acc = np.float64(0.0)
+        for xi, yi in zip(x, y):
+            acc = acc + xi * yi
+        return acc
+
+    out = []
+    for a, b in sorted(pairs):
+        va, vb = by_id[a], by_id[b]
+        cos = float(fold_dot(va, vb)
+                    / (np.sqrt(fold_dot(va, va)) * np.sqrt(fold_dot(vb, vb))))
+        cos_r = round_half_up(cos, 6)
+        if cos_r > cos_min:
+            out.append((a, b, cos_r))
+    return out
+
+
+def local_ivf_trained_pairs(vec_rows, cos_min: float, bucket_cap: int,
+                            nprobe: int = 2):
+    """Single-node expectation of queries.q_embedding_knn_ivf_trained: the
+    SAME pure training function (dedup.ann_index.train_kmeans) over the
+    same deterministic sample — ordered by (xxhash64(vec_id), vec_id),
+    replicated here with the Spark-parity xxh64_long — then nprobe-cell
+    assignment, capped grouped pair emission, exact fold-cosine rerank."""
+    from dedup.ann_index import (IVF_TRAIN_SAMPLE, ivf_k_for, train_kmeans)
+
+    ids, vecs = [], []
+    for vid, v in vec_rows:
+        ids.append(int(vid))
+        vecs.append(np.asarray(v, dtype=np.float64))
+    M = np.stack(vecs)
+    order = sorted(range(len(ids)),
+                   key=lambda i: (_signed64(xxh64_long(ids[i] & _M64, 42)),
+                                  ids[i]))
+    sample = M[order[:IVF_TRAIN_SAMPLE]]
+    C = train_kmeans(sample, ivf_k_for(len(ids)))
     Cn = C / np.linalg.norm(C, axis=1, keepdims=True)
     Mn = M / np.linalg.norm(M, axis=1, keepdims=True)
     sims = Mn @ Cn.T

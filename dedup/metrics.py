@@ -9,10 +9,10 @@ interface (https://spark.apache.org/docs/latest/monitoring.html#rest-api):
 `GET <uiWebUrl>/api/v1/applications/<appId>/stages` returns per-stage
 executorRunTime, shuffleReadBytes, shuffleWriteBytes, etc.
 
-Degrades to None when the UI is disabled (the test-default session sets
-spark.ui.enabled=false to save startup time) — callers emit null telemetry
-columns in that case. Enable with build_session(extra_conf=
-{"spark.ui.enabled": "true", "spark.ui.port": "0"}).
+build_session enables the UI on an ephemeral port by default (DEDUP_UI=0
+opts out), so pipeline metrics rows carry real telemetry in default runs.
+When the UI is off this degrades to None and callers emit null telemetry
+columns.
 """
 
 from __future__ import annotations

@@ -835,6 +835,20 @@ def q_embedding_knn_ivf(spark, sf_dir):
             .orderBy("a", "b"))
 
 
+def q_embedding_knn_ivf_trained(spark, sf_dir):
+    """IVF ANN with a TRAINED coarse quantizer: deterministic seeded
+    kmeans over a bounded hash-ordered sample (dedup/ann_index.py — the
+    preprocessing job the sampling quantizer of q_embedding_knn_ivf stands
+    in for), then the same non-degenerate assignment/pair/rerank shape.
+    Oracle: VALUES fixture from the single-node replica running the
+    identical pure training function on the identical sample."""
+    from dedup.ann_index import ivf_k_for, ivf_pairs, sample_vectors, train_kmeans
+    e = _emb(spark, sf_dir).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v"))
+    C = train_kmeans(sample_vectors(e), ivf_k_for(e.count()))
+    return ivf_pairs(e, C, ANN_COS_MIN, ANN_BUCKET_CAP)
+
+
 def q_events_agg(spark, sf_dir):
     """Hash aggregation with exact decimal sums (M2/T9e analog)."""
     return (_events(spark, sf_dir)
@@ -1015,6 +1029,42 @@ def q_stream_pairs(spark, sf_dir):
     return result
 
 
+def q_ingest_two_drops(spark, sf_dir):
+    """Incremental ingest composition (streaming.ingest_drop — the
+    engine's continuous-crawl flagship) as a driver row: two ordered
+    availableNow drops (even doc_ids, then odd doc_ids) through ONE
+    workdir — per drop: signatures append, stateful cross-drop candidate
+    pairs, verify against the accumulated signatures table,
+    merge_assignments fold, singleton top-up. The final assignment must
+    equal the batch pipeline's clustering of the union corpus EXACTLY
+    (equivalence also pytest-asserted in
+    tests/test_round3_queries.py::test_ingest_drop_incremental_equals_batch),
+    so the oracle fixture is the single-node engine's dup_clusters rows."""
+    import glob
+    import os
+    import shutil
+    import tempfile
+
+    from dedup.streaming import ingest_drop
+
+    c = docs_as_corpus(spark, sf_dir).select("url", "text", "doc_id")
+    base = tempfile.mkdtemp(prefix="ingestq_")
+    src, wd = f"{base}/src", f"{base}/wd"
+    os.makedirs(src)
+    result = None
+    for drop_no, pred in enumerate(("doc_id % 2 = 0", "doc_id % 2 = 1")):
+        tmp = f"{base}/tmp{drop_no}"
+        (c.where(pred).select("url", "text").coalesce(1)
+         .write.parquet(tmp))
+        part = glob.glob(f"{tmp}/part-*.parquet")[0]
+        shutil.copy(part, f"{src}/drop{drop_no}.parquet")
+        result = ingest_drop(spark, src, wd, PARITY_CONFIG,
+                             schema="url string, text string")
+    out = result.orderBy("url").localCheckpoint()
+    shutil.rmtree(base, ignore_errors=True)
+    return out
+
+
 def q_pipeline_resume(spark, sf_dir):
     """M7 + M10 + §2.6 checkpoint/lineage/resume as a driver row: run the
     checkpointed pipeline three times in a fresh workdir — run 0 computes
@@ -1157,6 +1207,7 @@ QUERIES = {
     "region_revenue": q_region_revenue,
     "pricing_summary": q_pricing_summary,
     "embedding_knn_ivf": q_embedding_knn_ivf,
+    "embedding_knn_ivf_trained": q_embedding_knn_ivf_trained,
     "events_agg": q_events_agg,
     "events_user_rank": q_events_user_rank,
     "events_hourly_topk": q_events_hourly_topk,
@@ -1167,6 +1218,7 @@ QUERIES = {
     "config_clamp": q_config_clamp,
     "clusters_incremental": q_clusters_incremental,
     "stream_pairs": q_stream_pairs,
+    "ingest_two_drops": q_ingest_two_drops,
     "pipeline_resume": q_pipeline_resume,
     "semantic_dedup": q_semantic_dedup,
 }

@@ -82,7 +82,14 @@ def build_session(app_name: str = "dedup-spark",
         .config("spark.python.worker.idleTimeoutSeconds", "600")
         .config("spark.driver.memory", os.environ.get("DEDUP_DRIVER_MEM", "8g"))
         .config("spark.sql.session.timeZone", "UTC")
-        .config("spark.ui.enabled", "false")
+        # UI on (ephemeral port) so the monitoring REST API serves task
+        # telemetry (M12 — dedup/metrics.py): without it every pipeline
+        # metrics row carries null executor/shuffle columns. DEDUP_UI=0
+        # opts out for UI-less environments.
+        .config("spark.ui.enabled",
+                "false" if os.environ.get("DEDUP_UI") == "0" else "true")
+        .config("spark.ui.port", "0")
+        .config("spark.ui.showConsoleProgress", "false")
     )
     for k, v in (extra_conf or {}).items():
         b = b.config(k, v)

@@ -103,8 +103,10 @@ def stream_candidate_pairs(stream_corpus: DataFrame, cfg: DedupConfig,
     (tools/repro_state_timeout_bug.py reproduces it with vanilla
     applyInPandasWithState). transformWithStateInPandas (state-v2, native
     TTL) needs google.protobuf, absent in this sandbox. So member LISTS are
-    TTL-bounded here, while expired bucket ROWS are only reclaimed on
-    checkpoint reset — the one piece engine timeouts would add.
+    TTL-bounded here, while expired bucket ROWS are reclaimed offline by
+    `evict_expired_pair_state` between drops (an evict-only pass through
+    the same checkpoint that state.remove()s still-expired buckets) — the
+    row count is then bounded by the live key set, not by keys ever seen.
     """
     import bisect
     import time as _time
@@ -222,8 +224,12 @@ def ingest_drop(spark, source_dir: str, workdir: str, cfg: DedupConfig,
     from dedup.verify import verify_pairs
 
     sig_dir = f"{workdir}/signatures"
+    # null-url rows are state-compaction tombstone files read under the
+    # corpus schema (evict_expired_pair_state) — inert, keep them out of
+    # the signatures table
     q1 = (stream_signatures(
         spark.readStream.schema(schema).parquet(source_dir)
+        .where(F.col("url").isNotNull())
         .select("url", "text"), cfg)
         .writeStream.format("parquet")
         .option("path", sig_dir)
@@ -234,7 +240,12 @@ def ingest_drop(spark, source_dir: str, workdir: str, cfg: DedupConfig,
     assign_dir = f"{workdir}/assignments"
 
     def fold(batch_df, batch_id):
-        sigs = spark.read.parquet(sig_dir)
+        # a url re-delivered in a later drop (re-crawl, duplicate file)
+        # appends a second signature row; reading the accumulated table
+        # deduped by url keeps the verify join 1:1 and the assignments
+        # table bounded over long-lived ingest dirs (re-delivery is
+        # assumed content-identical — the signature rows then coincide)
+        sigs = spark.read.parquet(sig_dir).dropDuplicates(["url"])
         verified = (verify_pairs(batch_df, sigs, cfg)
                     .where("keep").select("a", "b"))
         if Path(assign_dir).exists():
@@ -260,7 +271,7 @@ def ingest_drop(spark, source_dir: str, workdir: str, cfg: DedupConfig,
 
     # a drop whose documents hit no blocking bucket emits no micro-batch
     # at all — enter those documents as singletons
-    sigs = spark.read.parquet(sig_dir)
+    sigs = spark.read.parquet(sig_dir).dropDuplicates(["url"])
     if Path(assign_dir).exists():
         assignments = spark.read.parquet(assign_dir)
         missing = (sigs.select("url")
@@ -273,6 +284,170 @@ def ingest_drop(spark, source_dir: str, workdir: str, cfg: DedupConfig,
         (sigs.select("url", F.col("url").alias("cluster_id"))
          .write.mode("overwrite").parquet(assign_dir))
     return spark.read.parquet(assign_dir)
+
+
+def read_pair_state(spark, checkpoint_dir: str) -> DataFrame:
+    """The stateful pair stream's live state rows via Spark's state data
+    source (read-only): one row per bucket with the grouping key struct,
+    the (members, last_seen_ms) value struct, and partition_id."""
+    return (spark.read.format("statestore")
+            .option("path", checkpoint_dir).load())
+
+
+_TOMBSTONE_PREFIX = "tombstones-"
+_EVICT_SCHEMA = "gk_band bigint, gk_url string, gk_txt string"
+
+
+def _seen_source_files(checkpoint_dir: str) -> set[str]:
+    """File paths the pair stream's file source has already processed,
+    parsed from the checkpoint's sources/0 metadata log."""
+    import json as _json
+    from pathlib import Path
+
+    seen: set[str] = set()
+    log_dir = Path(checkpoint_dir, "sources", "0")
+    if not log_dir.exists():
+        return seen
+    for f in log_dir.iterdir():
+        # batch files are named "<n>" or "<n>.compact"; skip .crc etc.
+        if not f.is_file() or not f.name.split(".")[0].isdigit():
+            continue
+        for line in f.read_text(errors="ignore").splitlines():
+            line = line.strip()
+            if not line.startswith("{"):
+                continue
+            try:
+                entry = _json.loads(line)
+            except ValueError:
+                continue
+            p = entry.get("path")
+            if p:
+                seen.add(p.removeprefix("file://").removeprefix("file:"))
+    return seen
+
+
+def evict_expired_pair_state(spark, source_dir: str, checkpoint_dir: str,
+                             state_ttl_ms: int,
+                             output_dir: str | None = None,
+                             now_ms: int | None = None) -> int:
+    """Offline state-ROW compaction for the stateful pair stream — the
+    piece engine timeouts would provide but crash on (see
+    stream_candidate_pairs: this build's applyInPandasWithState dies on
+    every timed-out key, repro in tools/repro_state_timeout_bug.py).
+
+    The in-stream TTL already empties a stale bucket's member list, but the
+    bucket ROW lives in the state store until checkpoint reset, so row
+    count grows with distinct keys ever seen on a continuous stream. This
+    utility reclaims those rows BETWEEN availableNow drops:
+
+    1. read the live state through the state data source and select
+       buckets whose last_seen_ms is older than the TTL;
+    2. land those bucket keys as ONE uniquely-named tombstone parquet file
+       in the WATCHED source dir (the file source is path-keyed, so both
+       the tombstone batch and later restart-replays resolve under the
+       same root — a separate staging dir trips the source's basePath
+       check during restart bookkeeping);
+    3. run one evict-only availableNow pass THROUGH THE SAME CHECKPOINT:
+       same source path, same grouping columns, same state/output schemas,
+       so the state store accepts it as the next batch of the same
+       operator — but the rows are read under the tombstone (key-columns)
+       schema and the state function calls state.remove() for
+       still-expired buckets, emitting nothing.
+
+    The real query later lists the tombstone files as corpus rows whose
+    columns are all NULL (disjoint schemas) — they produce no signature
+    and no blocking key, so they are inert; ingest_drop additionally
+    filters null urls out of the signatures append. A bucket that received
+    fresh data between steps 1 and 3 fails the re-check inside the pass
+    and is left alone (the decision reads the CURRENT state, not the
+    snapshot). Returns the number of buckets tombstoned.
+
+    Pass `output_dir` when the pair stream writes through a FILE sink
+    (run_stream_candidate_pairs): the evict batch then commits an empty
+    entry to the sink's _spark_metadata log, keeping its batch ids
+    contiguous for readers. Leave it None for foreachBatch pipelines
+    (ingest_drop), which have no sink log.
+
+    Refuses to run while the source dir holds UNPROCESSED corpus files:
+    the evict pass would mark them seen without pairing them (shared
+    sources log) — process pending drops first.
+    """
+    import glob
+    import os
+    import shutil
+    import time as _time
+    import uuid
+
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    now = int(_time.time() * 1000) if now_ms is None else now_ms
+    seen = _seen_source_files(checkpoint_dir)
+    pending = [p for p in glob.glob(f"{source_dir}/*")
+               if os.path.isfile(p) and os.path.realpath(p) not in
+               {os.path.realpath(s) for s in seen}
+               and not os.path.basename(p).startswith(_TOMBSTONE_PREFIX)]
+    if pending:
+        raise RuntimeError(
+            f"evict_expired_pair_state: {len(pending)} unprocessed drop "
+            f"file(s) in {source_dir} (e.g. {pending[0]}); run the pair "
+            "stream first — evicting now would mark them processed "
+            "without pairing them")
+
+    state = read_pair_state(spark, checkpoint_dir)
+    # applyInPandasWithState nests the user state under value.groupState
+    expired = (state
+               .where(F.col("value.groupState.last_seen_ms")
+                      < now - state_ttl_ms)
+               .select(F.col("key.gk_band").alias("gk_band"),
+                       F.col("key.gk_url").alias("gk_url"),
+                       F.col("key.gk_txt").alias("gk_txt"))
+               .localCheckpoint())
+    n = expired.count()
+    if n == 0:
+        return 0
+    # ONE flat uniquely-named tombstone file (re-used names would be
+    # skipped as already-seen by the path-keyed source)
+    tmp = f"{source_dir}/_tmp_{uuid.uuid4().hex[:8]}"
+    expired.coalesce(1).write.parquet(tmp)
+    part = glob.glob(f"{tmp}/part-*.parquet")[0]
+    shutil.move(part, f"{source_dir}/{_TOMBSTONE_PREFIX}{now}-"
+                      f"{uuid.uuid4().hex[:8]}.parquet")
+    shutil.rmtree(tmp, ignore_errors=True)
+
+    def evict(key, pdfs, state):
+        for _ in pdfs:   # drain the Arrow chunks (worker contract)
+            pass
+        if state.exists:
+            last_seen = state.get[1]
+            if now - last_seen > state_ttl_ms:
+                state.remove()
+        return iter(())
+
+    src = (spark.readStream.schema(_EVICT_SCHEMA).parquet(source_dir))
+    stateful = (src.where(F.col("gk_band").isNotNull()
+                          | F.col("gk_url").isNotNull()
+                          | F.col("gk_txt").isNotNull())
+                .groupBy("gk_band", "gk_url", "gk_txt")
+                .applyInPandasWithState(
+                    evict,
+                    outputStructType=PAIR_OUTPUT_SCHEMA,
+                    stateStructType=_PAIR_STATE_SCHEMA,
+                    outputMode="append",
+                    timeoutConf=GroupStateTimeout.NoTimeout))
+    if output_dir is not None:
+        # same file sink as the real query: the (empty) evict batch lands
+        # in _spark_metadata so the sink's batch ids stay contiguous
+        w = (stateful.writeStream.format("parquet")
+             .option("path", output_dir))
+    else:
+        # the sink must CONSUME every partition or the state stores never
+        # commit (count() drives the full stateful plan; output is empty)
+        w = stateful.writeStream.foreachBatch(
+            lambda df, bid: df.count() and None)
+    q = (w.option("checkpointLocation", checkpoint_dir)
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination()
+    return n
 
 
 def run_file_stream_dedup(spark, source_dir: str, checkpoint_dir: str,

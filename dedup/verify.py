@@ -3,8 +3,7 @@
 The reference scores a pair as the cosine of the two MinHash signature
 vectors — NOT a Jaccard estimate (reference app/hash_detector.py:138-154,
 formula at :153). Parity runs must therefore use cosine; engine mode adds
-exact Jaccard over the shingle sets (the north-star's "exact verification"),
-computed natively with array_intersect/array_union sizes.
+exact Jaccard over the shingle sets (the north-star's "exact verification").
 
 Scale notes:
 - candidate pairs arrive as a slim (a, b) table; signatures are joined back
@@ -12,18 +11,21 @@ Scale notes:
 - parity cosine runs in an Arrow-batched pandas UDF using the same
   ``np.dot / (norm * norm)`` float64 formula as the reference, per pair, so
   scores agree to the last ulp (verified in tests).
-- exact Jaccard stays entirely JVM-side (whole-stage codegen).
+- engine (jaccard) mode is two-phase: a NATIVE MinHash-estimate prefilter
+  over the already-joined signature vectors rejects most non-duplicate
+  pairs before the 10-100x wider shingle arrays are joined at all; the
+  survivors' exact Jaccard is ONE vectorized searchsorted per Arrow batch
+  over the flattened (pair_id << 32 | shingle) composite keys — no per-pair
+  Python loop anywhere.
 """
 
 from __future__ import annotations
-
-from collections.abc import Iterator
 
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 
-from dedup.config import DedupConfig
+from dedup.config import DedupConfig, minhash_prefilter_min_equal
 
 
 def cosine_similarity(sig1: np.ndarray, sig2: np.ndarray) -> float:
@@ -45,8 +47,68 @@ def jaccard_cols(shingles_a, shingles_b):
                   ).otherwise(F.lit(0.0))
 
 
+def batch_cosines(sig_a_series, sig_b_series) -> np.ndarray:
+    """Batched reference cosine: signatures are fixed length k, so the Arrow
+    batch is one rectangular matrix and batched BLAS matmul scores every
+    pair at once, BIT-IDENTICAL to the reference's per-pair np.dot /
+    np.linalg.norm (same BLAS kernels; verified by tests/test_signature.py
+    cosine parity) — unlike einsum/sum(axis=1), whose pairwise summation
+    differs from ddot in the last ulp."""
+    A = np.stack(sig_a_series.to_numpy()).astype(np.float64, copy=False)
+    B = np.stack(sig_b_series.to_numpy()).astype(np.float64, copy=False)
+    dots = np.matmul(A[:, None, :], B[:, :, None]).ravel()
+    na = np.sqrt(np.matmul(A[:, None, :], A[:, :, None]).ravel())
+    nb = np.sqrt(np.matmul(B[:, None, :], B[:, :, None]).ravel())
+    return dots / (na * nb)
+
+
+def batch_jaccards(sh_a_series, sh_b_series) -> np.ndarray:
+    """Exact Jaccard for a whole Arrow batch of (sorted, distinct, < 2^32)
+    shingle-array pairs with ONE np.searchsorted — no per-pair loop.
+
+    Shingle hashes are CRC32 values (< 2^32, dedup/signature.py), so packing
+    (pair_id << 32 | value) into int64 yields composite keys that are
+    globally sorted when concatenated in pair order (each per-pair array is
+    stored sorted). One binary search of all A-side keys into the B-side
+    buffer then counts every pairwise intersection at once; per-pair
+    intersection sizes come back via bincount over the matched pair ids.
+    """
+    n = len(sh_a_series)
+    empty = np.empty(0, dtype=np.int64)
+    a_arrays = [np.asarray(x, dtype=np.int64) if x is not None else empty
+                for x in sh_a_series]
+    b_arrays = [np.asarray(x, dtype=np.int64) if x is not None else empty
+                for x in sh_b_series]
+    lens_a = np.fromiter((x.size for x in a_arrays), np.int64, count=n)
+    lens_b = np.fromiter((x.size for x in b_arrays), np.int64, count=n)
+    flat_a = np.concatenate(a_arrays) if n else empty
+    flat_b = np.concatenate(b_arrays) if n else empty
+    pid_a = np.repeat(np.arange(n, dtype=np.int64), lens_a)
+    pid_b = np.repeat(np.arange(n, dtype=np.int64), lens_b)
+    comp_a = (pid_a << 32) | flat_a
+    comp_b = (pid_b << 32) | flat_b
+    if comp_b.size and comp_a.size:
+        idx = np.searchsorted(comp_b, comp_a)
+        np.minimum(idx, comp_b.size - 1, out=idx)
+        matched = comp_b[idx] == comp_a
+        inter = np.bincount(pid_a[matched], minlength=n)
+    else:
+        inter = np.zeros(n, dtype=np.int64)
+    union = lens_a + lens_b - inter
+    with np.errstate(invalid="ignore", divide="ignore"):
+        return np.where(union > 0, inter / union, 0.0)
+
+
 _VERIFIED_SCHEMA = ("a string, b string, match_source string, "
                     "similarity double, jaccard double, keep boolean")
+
+
+def minhash_estimate_equal_count_col(sig_a="_sig_a", sig_b="_sig_b"):
+    """Number of equal MinHash components between two signature columns —
+    k times the standard MinHash Jaccard estimate, as an exact BIGINT.
+    Pure native expression (whole-stage codegen)."""
+    return F.expr(
+        f"size(filter(zip_with({sig_a}, {sig_b}, (x, y) -> x = y), v -> v))")
 
 
 def verify_pairs(pairs: DataFrame, signatures: DataFrame,
@@ -60,32 +122,32 @@ def verify_pairs(pairs: DataFrame, signatures: DataFrame,
     the reference short-circuit (app/hash_detector.py:263-266, :295-297);
     they never reach the scoring stage.
 
-    Scoring runs as ONE mapInPandas stage over the natively-joined
-    (pair, sig_a, sig_b) rows: per-pair np.dot on float64 (bit-identical to
-    the reference formula at app/hash_detector.py:153) + exact Jaccard via
-    sorted-array intersection. mapInPandas rather than a pandas_udf column
-    on purpose — Catalyst re-evaluates projected UDF columns under filters
-    (`where(keep)` would chain two ArrowEval stages), while a mapInPandas
-    node is an optimizer barrier, so downstream filters run above the single
-    Python stage.
+    Parity (cosine) mode: ONE mapInPandas stage over the natively-joined
+    (pair, sig_a, sig_b) rows — per-pair np.dot on float64, bit-identical
+    to the reference formula at app/hash_detector.py:153. mapInPandas
+    rather than a pandas_udf column on purpose — Catalyst re-evaluates
+    projected UDF columns under filters (`where(keep)` would chain two
+    ArrowEval stages), while a mapInPandas node is an optimizer barrier, so
+    downstream filters run above the single Python stage.
+
+    Engine (jaccard) mode adds a native prefilter BEFORE the shingle join:
+    the MinHash Jaccard estimate (equal-component count over the two
+    signatures, free once the narrow minhash columns are joined) rejects
+    pairs estimating below jaccard_threshold - jaccard_prefilter_margin.
+    Rejected pairs are emitted with NULL scores and keep=false — they never
+    carry shingle arrays and never enter Python. Survivors join the shingle
+    arrays by key and are scored with one flattened searchsorted per Arrow
+    batch (batch_jaccards). The prefilter is a deterministic pure function
+    of the signatures and is replicated exactly by the single-node oracle
+    (dedup/local_oracle.local_verify), so Spark and oracle keep decisions
+    agree bit-for-bit.
     """
     if "match_source" not in pairs.columns:
         pairs = pairs.withColumn("match_source", F.lit("lsh"))
-    # Parity (cosine) decisions never read the shingle sets, and shingle
-    # arrays are 10-100x wider than the minhash signature — joining them
-    # into every pair row multiplies verify-stage Arrow traffic by the mean
-    # pair degree. Only engine (jaccard) mode pays for them.
-    want_shingles = cfg.scoring == "jaccard"
-    cols = ["url", "minhash"] + (["shingles"] if want_shingles else [])
-    sig = signatures.select(*cols).where(F.col("minhash").isNotNull())
-    if not want_shingles:
-        sig = sig.withColumn("shingles", F.lit(None).cast("array<bigint>"))
-    sa = sig.select(F.col("url").alias("a"),
-                    F.col("minhash").alias("_sig_a"),
-                    F.col("shingles").alias("_sh_a"))
-    sb = sig.select(F.col("url").alias("b"),
-                    F.col("minhash").alias("_sig_b"),
-                    F.col("shingles").alias("_sh_b"))
+    sig = (signatures.select("url", "minhash")
+           .where(F.col("minhash").isNotNull()))
+    sa = sig.select(F.col("url").alias("a"), F.col("minhash").alias("_sig_a"))
+    sb = sig.select(F.col("url").alias("b"), F.col("minhash").alias("_sig_b"))
 
     url_exact = pairs.where(F.col("match_source") == "url_exact").select(
         "a", "b", "match_source",
@@ -97,53 +159,51 @@ def verify_pairs(pairs: DataFrame, signatures: DataFrame,
     joined = (pairs.where(F.col("match_source") != "url_exact")
               .join(sa, "a").join(sb, "b"))
 
-    scoring, threshold, j_threshold = cfg.scoring, cfg.threshold, cfg.jaccard_threshold
+    threshold, j_threshold = cfg.threshold, cfg.jaccard_threshold
 
-    def score(batches):
+    if cfg.scoring != "jaccard":
+        def score_cosine(batches):
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                sims = batch_cosines(pdf["_sig_a"], pdf["_sig_b"])
+                yield pd.DataFrame({
+                    "a": pdf["a"], "b": pdf["b"],
+                    "match_source": pdf["match_source"],
+                    "similarity": sims,
+                    "jaccard": np.full(len(pdf), np.nan),
+                    "keep": sims >= threshold,
+                })
+
+        scored = joined.mapInPandas(score_cosine, schema=_VERIFIED_SCHEMA)
+        return url_exact.unionByName(scored)
+
+    # --- engine (jaccard) mode -------------------------------------------
+    min_equal = minhash_prefilter_min_equal(cfg)
+    with_est = joined.withColumn("_est", minhash_estimate_equal_count_col())
+    rejected = (with_est.where(F.col("_est") < min_equal)
+                .select("a", "b", "match_source",
+                        F.lit(None).cast("double").alias("similarity"),
+                        F.lit(None).cast("double").alias("jaccard"),
+                        F.lit(False).alias("keep")))
+    survivors = with_est.where(F.col("_est") >= min_equal).drop("_est")
+    sh = signatures.select("url", "shingles")
+    sha = sh.select(F.col("url").alias("a"), F.col("shingles").alias("_sh_a"))
+    shb = sh.select(F.col("url").alias("b"), F.col("shingles").alias("_sh_b"))
+    survivors = survivors.join(sha, "a").join(shb, "b")
+
+    def score_jaccard(batches):
         for pdf in batches:
-            n = len(pdf)
-            if n == 0:
+            if len(pdf) == 0:
                 continue
-            # signatures are fixed length k, so the Arrow batch is one
-            # rectangular matrix: batched BLAS matmul scores every pair at
-            # once and is BIT-IDENTICAL to the reference's per-pair
-            # np.dot / np.linalg.norm (same BLAS kernels; verified by
-            # tests/test_signature.py cosine parity and a dedicated
-            # equality test) — unlike einsum/sum(axis=1), whose pairwise
-            # summation differs from ddot in the last ulp.
-            A = np.stack(pdf["_sig_a"].to_numpy()).astype(np.float64,
-                                                          copy=False)
-            B = np.stack(pdf["_sig_b"].to_numpy()).astype(np.float64,
-                                                          copy=False)
-            dots = np.matmul(A[:, None, :], B[:, :, None]).ravel()
-            na = np.sqrt(np.matmul(A[:, None, :], A[:, :, None]).ravel())
-            nb = np.sqrt(np.matmul(B[:, None, :], B[:, :, None]).ravel())
-            sims = dots / (na * nb)
-            jacs = np.full(n, np.nan, dtype=np.float64)
-            if scoring == "jaccard":
-                # shingle arrays are stored sorted+distinct, so the
-                # intersection size is a binary-search count: probe the
-                # smaller array into the larger one with ONE vectorized
-                # searchsorted per pair instead of intersect1d (which
-                # re-sorts the concatenation) — ~5x less work per pair
-                for i, (ha, hb) in enumerate(zip(pdf["_sh_a"], pdf["_sh_b"])):
-                    if ha is not None and hb is not None:
-                        ia = np.asarray(ha, dtype=np.int64)
-                        ib = np.asarray(hb, dtype=np.int64)
-                        if ib.size < ia.size:
-                            ia, ib = ib, ia
-                        idx = np.searchsorted(ib, ia)
-                        idx[idx == ib.size] = 0
-                        inter = int(np.count_nonzero(ib[idx] == ia))
-                        union = ia.size + ib.size - inter
-                        jacs[i] = inter / union if union else 0.0
-            keep = (jacs >= j_threshold if scoring == "jaccard"
-                    else sims >= threshold)
+            sims = batch_cosines(pdf["_sig_a"], pdf["_sig_b"])
+            jacs = batch_jaccards(pdf["_sh_a"], pdf["_sh_b"])
             yield pd.DataFrame({
                 "a": pdf["a"], "b": pdf["b"],
                 "match_source": pdf["match_source"],
-                "similarity": sims, "jaccard": jacs, "keep": keep,
+                "similarity": sims, "jaccard": jacs,
+                "keep": jacs >= j_threshold,
             })
 
-    scored = joined.mapInPandas(score, schema=_VERIFIED_SCHEMA)
-    return url_exact.unionByName(scored)
+    scored = survivors.mapInPandas(score_jaccard, schema=_VERIFIED_SCHEMA)
+    return url_exact.unionByName(scored).unionByName(rejected)

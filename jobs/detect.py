@@ -45,6 +45,17 @@ def main() -> None:
     ap.add_argument("--max-candidates", type=int, default=None,
                     help="cap on returned duplicates (M5 clamp applies)")
     ap.add_argument("--engine-mode", action="store_true")
+    ap.add_argument("--scoring", choices=("cosine", "jaccard"),
+                    default="cosine",
+                    help="keep semantics for BOTH query modes: 'cosine' "
+                         "(reference decision, default) or 'jaccard' "
+                         "(engine exact-Jaccard; needs a shingle-bearing "
+                         "signatures table, i.e. --engine-mode or an "
+                         "engine workdir)")
+    ap.add_argument("--trust-key-index", action="store_true",
+                    help="use --key-index even when its lineage manifest "
+                         "is missing (config compatibility then cannot be "
+                         "verified)")
     ap.add_argument("--master", default=None)
     args = ap.parse_args()
     if not args.corpus and not args.signatures:
@@ -60,7 +71,11 @@ def main() -> None:
 
     cfg = ENGINE_CONFIG if args.engine_mode else PARITY_CONFIG
     if args.threshold is not None:
-        cfg = replace(cfg, threshold=args.threshold)
+        # with --scoring jaccard the keep decision reads jaccard_threshold,
+        # so an explicit --threshold must land on that field
+        cfg = (replace(cfg, jaccard_threshold=args.threshold)
+               if args.scoring == "jaccard"
+               else replace(cfg, threshold=args.threshold))
 
     spark = build_session("detect", master=args.master)
     if args.signatures:
@@ -77,7 +92,11 @@ def main() -> None:
                      f"({cfg.num_hashes}); regenerate the workdir or pass "
                      "the matching --engine-mode flag")
     else:
-        sigs = signatures_table(spark.read.parquet(args.corpus), cfg)
+        # --scoring jaccard needs the shingle arrays even under a parity
+        # config whose pipeline default would drop them
+        sigs = signatures_table(
+            spark.read.parquet(args.corpus), cfg,
+            keep_shingles=True if args.scoring == "jaccard" else None)
 
     key_index = None
     if args.key_index:
@@ -86,25 +105,39 @@ def main() -> None:
         # was built under — refuse a mismatched one instead of silently
         # probing wrong buckets
         manifest = Path(args.key_index).parent / "_lineage" / "keys.json"
+        from dedup.config import key_config
+        recorded = None
         if manifest.exists():
-            from dedup.config import key_config
             man = json.loads(manifest.read_text())
             recorded = man.get("config")
-            if recorded is not None and key_config(recorded) != key_config(cfg):
+        if recorded is not None:
+            if key_config(recorded) != key_config(cfg):
                 sys.exit("--key-index was built under a different "
                          "signature/banding config "
                          f"({key_config(recorded)} != {key_config(cfg)}); "
                          "rebuild it or match --engine-mode")
+        elif not args.trust_key_index:
+            # a missing/config-less manifest means the index's band-hash
+            # space CANNOT be verified against this config — a mismatched
+            # index silently probes wrong buckets and returns wrong/empty
+            # candidates, exactly the failure the guard exists to prevent
+            sys.exit("--key-index has no lineage manifest "
+                     f"({manifest}) so its signature/banding config "
+                     "cannot be verified; rebuild it via "
+                     "DedupPipeline.run(build_key_index=True) or pass "
+                     "--trust-key-index to proceed anyway")
         key_index = spark.read.parquet(args.key_index)
     if args.url:
-        result = dedupe_one(sigs, args.url, cfg, key_index=key_index)
+        result = dedupe_one(sigs, args.url, cfg, key_index=key_index,
+                            scoring=args.scoring)
     else:
         result = dedupe_metadata(
             sigs,
             SourceMetadata(title=args.title, description=args.description,
                            url=args.source_url,
                            redirect_url=args.redirect_url),
-            cfg, key_index=key_index)
+            cfg, threshold=args.threshold, key_index=key_index,
+            scoring=args.scoring)
     limit = get_effective_max_candidates(args.max_candidates)
     for row in result.limit(limit).collect():
         print(json.dumps({"node_url": row["node_url"],

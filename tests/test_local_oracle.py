@@ -82,7 +82,8 @@ def test_fixture_file_exists_and_covers_expected_queries():
         "kernel_detect", "metadata_block_pairs", "url_normalize_youtube",
         "permutation_coeffs", "minhash_signatures_engine", "candidate_stats",
         "clusters_incremental", "stream_pairs", "semantic_dedup",
-        "dup_clusters_engine",
+        "dup_clusters_engine", "embedding_knn_ivf_trained",
+        "ingest_two_drops",
     }
     for name, d in data.items():
         assert d["rows"], f"{name} fixture is empty"

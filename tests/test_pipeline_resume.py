@@ -72,16 +72,25 @@ class TestResume:
                      .groupBy().sum("rows").first()[0])
             assert total == man["rows"]
 
-    def test_metrics_task_telemetry_null_without_ui(self, spark, corpus_df,
-                                                    tmp_path):
-        """The shared test session runs with spark.ui.enabled=false, so the
-        REST telemetry columns must exist and be null — never crash."""
+    def test_metrics_task_telemetry_on_by_default(self, spark, corpus_df,
+                                                  tmp_path):
+        """build_session enables the UI (ephemeral port) by default, so a
+        DEFAULT pipeline run lands real task telemetry on every computed
+        stage's metrics rows — the M12 columns must be non-null."""
         wd = str(tmp_path / "job4")
         tables = dedupe_corpus(spark, corpus_df, wd, PARITY_CONFIG)
         m = tables["metrics"]
         assert {"executor_run_time_ms", "shuffle_read_bytes",
                 "shuffle_write_bytes", "num_tasks"} <= set(m.columns)
-        assert m.where("executor_run_time_ms IS NOT NULL").count() == 0
+        assert m.where("executor_run_time_ms IS NULL").count() == 0
+        assert m.where("num_tasks IS NULL OR num_tasks <= 0").count() == 0
+
+    def test_metrics_degrade_to_null_without_rest(self):
+        """With no REST snapshot (UI off / unreachable) the telemetry
+        aggregation degrades to None instead of crashing."""
+        from dedup.metrics import stage_ids, task_totals
+        assert task_totals(None) is None
+        assert stage_ids(None) == set()
 
 
 _UI_METRICS_SCRIPT = """

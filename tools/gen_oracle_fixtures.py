@@ -188,6 +188,11 @@ def gen_fixtures(sf_dir: str) -> dict:
         "columns": [["a", "BIGINT"], ["b", "BIGINT"], ["cos_sim", "DOUBLE"]],
         "rows": [list(t) for t in ivf],
     }
+    ivf_tr = lo.local_ivf_trained_pairs(emb, ANN_COS_MIN, ANN_BUCKET_CAP)
+    fixtures["embedding_knn_ivf_trained"] = {
+        "columns": [["a", "BIGINT"], ["b", "BIGINT"], ["cos_sim", "DOUBLE"]],
+        "rows": [list(t) for t in ivf_tr],
+    }
 
     # --- dedupe_one_url
     one = lo.local_dedupe_one(sigs, "https://mirror.net/copy/7", cfg)
@@ -294,6 +299,15 @@ def gen_fixtures(sf_dir: str) -> dict:
     # (merge_assignments over a split edge set is equivalence-tested
     # against the full recompute)
     fixtures["clusters_incremental"] = {
+        "columns": [["url", "VARCHAR"], ["cluster_id", "VARCHAR"]],
+        "rows": fixtures["dup_clusters"]["rows"],
+    }
+
+    # --- ingest_two_drops: the incremental-ingest composition over two
+    # ordered drops must land at the BATCH clustering of the union corpus
+    # (equivalence pytest-asserted; the oracle is therefore the same
+    # single-node dup_clusters rows)
+    fixtures["ingest_two_drops"] = {
         "columns": [["url", "VARCHAR"], ["cluster_id", "VARCHAR"]],
         "rows": fixtures["dup_clusters"]["rows"],
     }
