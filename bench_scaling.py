@@ -230,7 +230,9 @@ emission on hot buckets.
 | 100k docs, x4 tokens | local[2] 431 d/s | local[8] 1320 d/s | 0.77 | round 1, fused extract+sign |
 | 100k docs, x4 tokens | local[2] 413 d/s | local[8] 1346 d/s | 0.815 | round 1 final |
 | 100k docs, x8 tokens, 64 files | local[2] 291 d/s | local[8] 912 d/s | 0.78 | round 2, BLAS pinned, coarse splits |
-| 100k docs, x8 tokens, 512 files | local[2] 270 d/s | local[8] 885 d/s | **0.819** | round 2 final (fine-grained splits: >= 16 task waves/level) |
+| 100k docs, x8 tokens, 512 files | local[2] 270 d/s | local[8] 885 d/s | **0.819** | round 2 final (fine-grained splits: >= 16 task waves/level; calmer guest: 5.3 s steal/12 s) |
+| 100k docs, x8 tokens, 512 files | local[2] 254 d/s | local[8] 788 d/s | 0.777 | round 3 (same-window pair; heavy-steal session: 2.7-39.5 s/12 s, 19-24 effective cores) |
+| 100k docs, x8 tokens, 512 files | local[2] 280 d/s | local[8] 857 d/s | 0.765 | round 4 first sweep (5.7-10.7 s steal/12 s, 6.5-6.8 effective of 8 at the 8-spinner level) |
 
 ## Headline bench (driver contract)
 

@@ -149,7 +149,8 @@ def local_signatures(rows, cfg: DedupConfig) -> list[DocSig]:
             continue
         sh = (char_shingle_hashes(words, cfg.char_shingle_size)
               if cfg.char_shingles else shingle_hashes(words, cfg.shingle_size))
-        arr = np.fromiter(sh, dtype=np.uint64, count=len(sh))
+        arr = (sh if isinstance(sh, np.ndarray)
+               else np.fromiter(sh, dtype=np.uint64, count=len(sh)))
         out.append(DocSig(
             url, normalize_url(url),
             normalize_url(redirect) if redirect else None,

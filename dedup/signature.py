@@ -82,20 +82,60 @@ def shingle_hashes(words: list[str], shingle_size: int = 3) -> set[int]:
             for i in range(n)}
 
 
-def char_shingle_hashes(words: list[str], k: int) -> set[int]:
-    """Engine mode: CRC32 of k-char sliding windows over the space-joined
-    token stream (shorter texts collapse to one whole-text shingle)."""
+# Engine char-shingle rolling hash (Rabin-Karp over bytes, mod 2^32):
+# B is an odd 32-bit constant (golden-ratio), so it is invertible mod 2^32
+# and every window hash comes from ONE vectorized prefix-sum pass instead
+# of a per-window Python loop. A murmur3-fmix32 finalizer restores
+# avalanche (the raw polynomial value is linear in the bytes).
+_RK_B = 0x9E3779B1
+_RK_BINV = pow(_RK_B, -1, 1 << 32)
+_M32 = np.uint32(0xFFFFFFFF)
+
+
+def _fmix32(x: np.ndarray) -> np.ndarray:
+    """murmur3 32-bit finalizer, vectorized (public-domain constants)."""
+    x = x.astype(np.uint32, copy=True)
+    x ^= x >> np.uint32(16)
+    x *= np.uint32(0x85EBCA6B)
+    x ^= x >> np.uint32(13)
+    x *= np.uint32(0xC2B2AE35)
+    x ^= x >> np.uint32(16)
+    return x
+
+
+def char_shingle_hashes(words: list[str], k: int) -> np.ndarray:
+    """Engine mode: rolling polynomial hash of k-char sliding windows over
+    the space-joined token stream (shorter texts collapse to one
+    whole-text shingle). Returns the SORTED UNIQUE hash array (uint64
+    values < 2^32).
+
+    window_i = fmix32(sum_{j<k} byte[i+j] * B^j mod 2^32) — computed for
+    every window at once from one modular prefix sum (the diff
+    prefix[i+k] - prefix[i] equals B^i * window_i, undone with the
+    precomputed inverse powers of the odd constant B). Fully vectorized:
+    ~100x faster per doc than a per-window zlib.crc32 loop at web page
+    sizes, with identical dedup semantics (exact hash-set equality is all
+    downstream consumers use)."""
     if not words:
-        return set()
-    s = " ".join(words)
-    if len(s) <= k:
-        return {zlib.crc32(s.encode()) & 0xFFFFFFFF}
-    enc = s.encode()
-    # windows over bytes of the encoded string; ascii-safe for synth corpora,
-    # deterministic for any input
-    return {
-        zlib.crc32(enc[i:i + k]) & 0xFFFFFFFF for i in range(len(enc) - k + 1)
-    }
+        return np.empty(0, dtype=np.uint64)
+    enc = " ".join(words).encode()
+    b = np.frombuffer(enc, dtype=np.uint8).astype(np.uint32)
+    n = b.size
+    if n <= k:
+        k = n
+    pw = np.full(n, np.uint32(_RK_B))
+    pw[0] = 1
+    np.cumprod(pw, out=pw)                      # B^i  (wraps mod 2^32)
+    ipw = np.full(n, np.uint32(_RK_BINV))
+    ipw[0] = 1
+    np.cumprod(ipw, out=ipw)                    # B^-i (wraps mod 2^32)
+    prefix = np.cumsum(b * pw, dtype=np.uint32)  # sum b[j]*B^j, wraps
+    if n == k:
+        wins = prefix[-1:].copy()
+    else:
+        wins = (prefix[k - 1:] - np.concatenate(
+            (np.zeros(1, dtype=np.uint32), prefix[:n - k]))) * ipw[:n - k + 1]
+    return np.unique(_fmix32(wins)).astype(np.uint64)
 
 
 def minhash_signature(shingles: np.ndarray, A: np.ndarray, B: np.ndarray) -> np.ndarray:
@@ -105,10 +145,27 @@ def minhash_signature(shingles: np.ndarray, A: np.ndarray, B: np.ndarray) -> np.
     = (2^32-1)^2 + (2^32-1) < 2^64, so no wraparound — results match the
     reference's arbitrary-precision Python ints bit-for-bit.
     Returns int64 values in [0, p).
+
+    Shape note: computed per permutation with in-place ops on ONE reused
+    buffer instead of one (k x n) matrix expression. The matrix form
+    materializes several k*n*8-byte temporaries, which spills engine-mode
+    char-shingled documents (10-100x more shingles than parity) out of
+    cache and makes the stage memory-bound — the chunked loop keeps the
+    working set at one shingle row (~L2-resident) and measures ~1.6x
+    faster at web-page sizes. (A division-free Mersenne-style reduction
+    and a float64-reciprocal quotient were both benchmarked SLOWER than
+    the hardware `%` here — extra passes cost more than the divide.)
     """
     s = shingles.astype(np.uint64, copy=False)
-    h = (A[:, None] * s[None, :] + B[:, None]) % _P
-    return h.min(axis=1).astype(np.int64)
+    k = A.size
+    out = np.empty(k, dtype=np.int64)
+    buf = np.empty(s.size, dtype=np.uint64)
+    for i in range(k):
+        np.multiply(s, A[i], out=buf)
+        buf += B[i]
+        buf %= _P
+        out[i] = int(buf.min())
+    return out
 
 
 def simhash64(shingle_hashes_arr: np.ndarray) -> int:
@@ -127,8 +184,10 @@ def simhash64(shingle_hashes_arr: np.ndarray) -> int:
     x *= np.uint64(0x94D049BB133111EB)
     x ^= x >> np.uint64(31)
     bits = np.unpackbits(
-        x.astype(">u8").view(np.uint8).reshape(-1, 8), axis=1).astype(np.int32)
-    votes = (2 * bits - 1).sum(axis=0)           # (64,) sign sums
+        x.astype(">u8").view(np.uint8).reshape(-1, 8), axis=1)
+    # sign sum = 2*(count of ones) - n, without materializing an int32
+    # copy of the full (n, 64) bit matrix
+    votes = 2 * bits.sum(axis=0, dtype=np.int64) - np.int64(len(x))
     out = 0
     for v in votes:
         out = (out << 1) | (1 if v > 0 else 0)
@@ -142,11 +201,20 @@ def compute_text_signature(text: str | None, A: np.ndarray, B: np.ndarray,
     words = tokenize(text)
     if not words:
         return None
-    sh = (char_shingle_hashes(words, cfg.char_shingle_size) if cfg.char_shingles
-          else shingle_hashes(words, cfg.shingle_size))
-    if not sh:
+    arr = _shingle_array(words, cfg)
+    if arr.size == 0:
         return None
-    return minhash_signature(np.fromiter(sh, dtype=np.uint64, count=len(sh)), A, B)
+    return minhash_signature(arr, A, B)
+
+
+def _shingle_array(words: list[str], cfg: DedupConfig) -> np.ndarray:
+    """Shingle hash array for one doc under cfg: engine char mode already
+    returns a uint64 ndarray; parity word mode returns a set (crc32
+    semantics pinned to the reference) converted here."""
+    if cfg.char_shingles:
+        return char_shingle_hashes(words, cfg.char_shingle_size)
+    sh = shingle_hashes(words, cfg.shingle_size)
+    return np.fromiter(sh, dtype=np.uint64, count=len(sh))
 
 
 # --- Spark stage ---------------------------------------------------------------
@@ -236,11 +304,7 @@ def signatures_table(corpus, cfg: DedupConfig, text_col: str = "text",
                     simhashes.append(None)
                     shingles_out.append(None)
                     continue
-                if cfg.char_shingles:
-                    sh = char_shingle_hashes(words, cfg.char_shingle_size)
-                else:
-                    sh = shingle_hashes(words, cfg.shingle_size)
-                arr = np.fromiter(sh, dtype=np.uint64, count=len(sh))
+                arr = _shingle_array(words, cfg)
                 sigs.append(minhash_signature(arr, A, B))
                 simhashes.append(simhash64(arr))
                 if keep_shingles:

@@ -76,13 +76,47 @@ class TestSimHash:
         assert simhash64(np.array([], dtype=np.uint64)) == 0
 
     def test_char_shingle_mode(self):
-        import zlib
+        """The vectorized rolling hash must equal the per-window spec:
+        fmix32(sum_{j<k} byte[i+j] * B^j mod 2^32)."""
+        M = 1 << 32
+        B = 0x9E3779B1
+
+        def fmix(x):
+            x ^= x >> 16
+            x = (x * 0x85EBCA6B) % M
+            x ^= x >> 13
+            x = (x * 0xC2B2AE35) % M
+            x ^= x >> 16
+            return x
+
+        def slow(s: bytes, k: int):
+            k = min(k, len(s))
+            return sorted({
+                fmix(sum(s[i + j] * pow(B, j, M) for j in range(k)) % M)
+                for i in range(len(s) - k + 1)})
+
         words = tokenize("hello world again and again")
-        k = 9
-        got = char_shingle_hashes(words, k)
-        s = " ".join(words).encode()
-        want = {zlib.crc32(s[i:i + k]) & 0xFFFFFFFF
-                for i in range(len(s) - k + 1)}
-        assert got == want
+        got = char_shingle_hashes(words, 9)
+        assert got.dtype == np.uint64
+        assert got.tolist() == slow(" ".join(words).encode(), 9)
         short = char_shingle_hashes(tokenize("hi yo"), 9)
-        assert short == {zlib.crc32(b"hi yo") & 0xFFFFFFFF}
+        assert short.tolist() == slow(b"hi yo", 9)
+        assert char_shingle_hashes([], 9).size == 0
+
+    def test_minhash_fast_mod_equals_division(self):
+        """The strength-reduced mod-p must equal literal (a*s+b) % p."""
+        from dedup.config import MINHASH_PRIME
+        from dedup.signature import minhash_signature
+
+        rng = np.random.RandomState(9)
+        A = rng.randint(0, 2**32, size=64, dtype=np.uint64)
+        B = rng.randint(0, 2**32, size=64, dtype=np.uint64)
+        s = rng.randint(0, 2**32, size=500, dtype=np.uint64)
+        # include extremes
+        s[:3] = [0, 1, 2**32 - 1]
+        A[:2] = [2**32 - 1, 0]
+        B[:2] = [2**32 - 1, 0]
+        got = minhash_signature(s, A, B)
+        want = ((A[:, None] * s[None, :] + B[:, None])
+                % np.uint64(MINHASH_PRIME)).min(axis=1).astype(np.int64)
+        assert np.array_equal(got, want)
