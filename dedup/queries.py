@@ -152,6 +152,65 @@ def q_top_terms(spark, sf_dir):
             .orderBy(F.desc("n"), F.asc("term")).limit(25))
 
 
+DECON_NGRAM = 8          # n-gram width for test-set decontamination
+DECON_EVAL_MAX = 50      # doc_id < 50 plays the held-out evaluation set
+
+
+def q_decontaminate(spark, sf_dir):
+    """Test-set decontamination (training-pipeline extra): flag every
+    training document (doc_id >= 50) that shares ANY 8-token n-gram with
+    the held-out evaluation subset (doc_id < 50) — the C4/GPT-3-style
+    n-gram overlap rule. Grams are distinct per doc; the eval gram set is
+    broadcast (at real scale it is the small side by construction: eval
+    benchmarks are tiny next to a training corpus). Real DuckDB oracle."""
+    n = DECON_NGRAM
+    toks = _docs(spark, sf_dir).select("doc_id", F.expr(_TOKENS).alias("t"))
+    grams = toks.select("doc_id", F.explode(F.expr(
+        f"CASE WHEN size(t) >= {n} THEN transform(sequence(0, size(t) - {n}),"
+        f" i -> concat_ws(' ', slice(t, i + 1, {n}))) "
+        "ELSE array() END")).alias("gram")).distinct()
+    contam = (grams.where(F.col("doc_id") < DECON_EVAL_MAX)
+              .select("gram").distinct())
+    hits = (grams.where(F.col("doc_id") >= DECON_EVAL_MAX)
+            .join(F.broadcast(contam), "gram")
+            .groupBy("doc_id")
+            .agg(F.countDistinct("gram").alias("_n")))
+    train = (_docs(spark, sf_dir).where(F.col("doc_id") >= DECON_EVAL_MAX)
+             .select("doc_id"))
+    return (train.join(hits, "doc_id", "left")
+            .select("doc_id",
+                    F.coalesce("_n", F.lit(0)).cast("bigint")
+                    .alias("n_hit_grams"),
+                    (F.coalesce("_n", F.lit(0)) > 0).alias("contaminated"))
+            .orderBy("doc_id"))
+
+
+def q_repetition_filter(spark, sf_dir):
+    """Gopher-style within-document repetition gate (training-pipeline
+    extra): the single most frequent word bigram's share of all bigram
+    occurrences; documents above 10% are dropped. Pure integer counters +
+    an integer comparison (top * 10 <= total), so the decision is exactly
+    reproducible in SQL — no float thresholds in the hash. Real DuckDB
+    oracle."""
+    toks = _docs(spark, sf_dir).select("doc_id", F.expr(_TOKENS).alias("t"))
+    bigr = toks.select("doc_id", F.explode(F.expr(
+        "CASE WHEN size(t) >= 2 THEN transform(sequence(0, size(t) - 2), "
+        "i -> concat_ws(' ', slice(t, i + 1, 2))) ELSE array() END"
+    )).alias("g"))
+    counts = bigr.groupBy("doc_id", "g").agg(F.count(F.lit(1)).alias("n"))
+    agg = (counts.groupBy("doc_id")
+           .agg(F.sum("n").alias("_tot"), F.max("n").alias("_top")))
+    return (_docs(spark, sf_dir).select("doc_id").join(agg, "doc_id", "left")
+            .select("doc_id",
+                    F.coalesce("_tot", F.lit(0)).cast("bigint")
+                    .alias("n_bigrams"),
+                    F.coalesce("_top", F.lit(0)).cast("bigint")
+                    .alias("top_bigram_n"),
+                    (F.coalesce("_top", F.lit(0)) * 10
+                     <= F.coalesce("_tot", F.lit(0))).alias("keep"))
+            .orderBy("doc_id"))
+
+
 # --- normalization --------------------------------------------------------------
 
 def q_url_normalize(spark, sf_dir):
@@ -1174,6 +1233,8 @@ QUERIES = {
     "text_quality": q_text_quality,
     "quality_filter": q_quality_filter,
     "top_terms": q_top_terms,
+    "decontaminate": q_decontaminate,
+    "repetition_filter": q_repetition_filter,
     "lang_stopword_scores": q_lang_stopword_scores,
     "url_normalize": q_url_normalize,
     "url_normalize_youtube": q_url_normalize_youtube,
@@ -1490,6 +1551,29 @@ ORACLE_SQL = {
         f"WITH t AS (SELECT unnest({_DUCK_TOKENS}) AS term FROM documents) "
         "SELECT term, count(*) AS n FROM t GROUP BY term "
         "ORDER BY n DESC, term ASC LIMIT 25"),
+    "decontaminate": (
+        f"WITH t AS (SELECT doc_id, {_DUCK_TOKENS} AS tk FROM documents), "
+        "g AS (SELECT DISTINCT doc_id, array_to_string(tk[i:i+7], ' ') AS "
+        "gram FROM t, UNNEST(range(1, len(tk) - 6)) AS u(i) "
+        "WHERE len(tk) >= 8), "
+        "contam AS (SELECT DISTINCT gram FROM g WHERE doc_id < 50), "
+        "h AS (SELECT g.doc_id, CAST(count(DISTINCT g.gram) AS BIGINT) AS n "
+        "FROM g JOIN contam USING (gram) WHERE g.doc_id >= 50 GROUP BY 1) "
+        "SELECT d.doc_id, COALESCE(h.n, 0) AS n_hit_grams, "
+        "COALESCE(h.n, 0) > 0 AS contaminated "
+        "FROM documents d LEFT JOIN h USING (doc_id) "
+        "WHERE d.doc_id >= 50 ORDER BY doc_id"),
+    "repetition_filter": (
+        f"WITH t AS (SELECT doc_id, {_DUCK_TOKENS} AS tk FROM documents), "
+        "b AS (SELECT doc_id, array_to_string(tk[i:i+1], ' ') AS g "
+        "FROM t, UNNEST(range(1, len(tk))) AS u(i) WHERE len(tk) >= 2), "
+        "c AS (SELECT doc_id, g, count(*) AS n FROM b GROUP BY 1, 2), "
+        "a AS (SELECT doc_id, CAST(sum(n) AS BIGINT) AS n_bigrams, "
+        "CAST(max(n) AS BIGINT) AS top_bigram_n FROM c GROUP BY 1) "
+        "SELECT d.doc_id, COALESCE(a.n_bigrams, 0) AS n_bigrams, "
+        "COALESCE(a.top_bigram_n, 0) AS top_bigram_n, "
+        "COALESCE(a.top_bigram_n, 0) * 10 <= COALESCE(a.n_bigrams, 0) AS keep "
+        "FROM documents d LEFT JOIN a USING (doc_id) ORDER BY doc_id"),
     # M5 clamp: same VALUES the Spark query enumerates, CASE as the rule
     "config_clamp": (
         "SELECT CAST(i AS BIGINT) AS i, CAST(requested AS INTEGER) AS requested, "

@@ -301,6 +301,36 @@ def test_ingest_redelivered_url_stays_single(spark, tmp_path):
                          .distinct().collect()}
 
 
+# --- training-pipeline extras: decontamination + repetition gate -------------
+
+def _duck(sf, sql):
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"'{sf}/documents.parquet'")
+    return con.execute(sql).fetchall()
+
+
+def test_decontaminate_matches_duckdb(spark):
+    from dedup.queries import ORACLE_SQL, q_decontaminate
+
+    got = [(r["doc_id"], r["n_hit_grams"], r["contaminated"])
+           for r in q_decontaminate(spark, SF).collect()]
+    want = _duck(SF, ORACLE_SQL["decontaminate"])
+    assert got == [tuple(w) for w in want]
+    # the planted eval split must flag at least the exact-duplicate texts
+    assert all(d >= 50 for d, _, _ in got)
+
+
+def test_repetition_filter_matches_duckdb(spark):
+    from dedup.queries import ORACLE_SQL, q_repetition_filter
+
+    got = [(r["doc_id"], r["n_bigrams"], r["top_bigram_n"], r["keep"])
+           for r in q_repetition_filter(spark, SF).collect()]
+    want = _duck(SF, ORACLE_SQL["repetition_filter"])
+    assert got == [tuple(w) for w in want]
+    assert got  # integer-only decision: exact cross-engine equality
+
+
 # --- driver row: ingest_two_drops -------------------------------------------
 
 def test_ingest_two_drops_query_equals_batch(spark):

@@ -39,7 +39,7 @@ def _plan(df) -> str:
 
 
 def main() -> None:
-    from dedup.config import PARITY_CONFIG
+    from dedup.config import ENGINE_CONFIG, PARITY_CONFIG
     from dedup.lsh import candidate_pairs
     from dedup.queries import QUERIES, docs_as_corpus
     from dedup.session import build_session
@@ -54,6 +54,10 @@ def main() -> None:
                             extract_html_col=None, emit_text=False)
     pairs = candidate_pairs(sigs, PARITY_CONFIG)
     verified = verify_pairs(pairs, sigs, PARITY_CONFIG).where("keep")
+    eng_sigs = signatures_table(corpus, ENGINE_CONFIG)
+    eng_verified = verify_pairs(
+        candidate_pairs(eng_sigs, ENGINE_CONFIG, use_simhash_prefilter=True),
+        eng_sigs, ENGINE_CONFIG).where("keep")
 
     sections = {
         "signatures (one Arrow pass: normalize+shingle+MinHash+SimHash)":
@@ -62,6 +66,9 @@ def main() -> None:
         "no self-join)": pairs,
         "verification (single mapInPandas barrier; filter stays above "
         "Python)": verified,
+        "engine verification (NATIVE minhash-estimate prefilter below the "
+        "shingle join: rejected pairs never carry arrays or enter Python)":
+            eng_verified,
         "token_count (native tokenization — pushed projection)":
             QUERIES["token_count"](spark, sf),
         "events_agg (hash aggregate, whole-stage codegen)":
