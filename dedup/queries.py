@@ -211,6 +211,43 @@ def q_repetition_filter(spark, sf_dir):
             .orderBy("doc_id"))
 
 
+_PII_EMAIL = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+_PII_PHONE = "\\+?[0-9]{1,3}-[0-9]{3}-[0-9]{4}"
+
+
+def q_pii_redact(spark, sf_dir):
+    """PII scrubbing (training-pipeline extra): regex redaction of email
+    and phone-shaped spans with per-doc redaction counts and an md5 of the
+    cleaned text (proves byte-identical redaction cross-engine). The
+    synthetic documents carry no PII, so a deterministic contact line
+    keyed by doc_id is appended first — the SAME construction in the SQL
+    oracle — and the redaction is the operator under test. All native
+    regexp functions (whole-stage codegen); real DuckDB oracle."""
+    d = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.concat(
+            F.col("text"), F.lit(" contact user"),
+            F.col("doc_id").cast("string"), F.lit("@mail"),
+            (F.col("doc_id") % 7).cast("string"),
+            F.lit(".example.com or +1-555-"),
+            F.lpad((F.col("doc_id") * 37 % 10000).cast("string"), 4, "0"),
+            F.lit(" now")).alias("dirty"))
+    clean = F.regexp_replace(
+        F.regexp_replace("dirty", _PII_EMAIL, "<EMAIL>"),
+        _PII_PHONE, "<PHONE>")
+    # F.regexp_extract_all with a lit() pattern, NOT F.expr string
+    # interpolation — Spark SQL literals process backslash escapes, which
+    # would silently turn \. into . inside the pattern
+    return (d.select(
+        "doc_id",
+        F.size(F.regexp_extract_all("dirty", F.lit(_PII_EMAIL), F.lit(0)))
+        .cast("bigint").alias("n_emails"),
+        F.size(F.regexp_extract_all("dirty", F.lit(_PII_PHONE), F.lit(0)))
+        .cast("bigint").alias("n_phones"),
+        F.md5(clean).alias("clean_md5"))
+        .orderBy("doc_id"))
+
+
 # --- normalization --------------------------------------------------------------
 
 def q_url_normalize(spark, sf_dir):
@@ -1235,6 +1272,7 @@ QUERIES = {
     "top_terms": q_top_terms,
     "decontaminate": q_decontaminate,
     "repetition_filter": q_repetition_filter,
+    "pii_redact": q_pii_redact,
     "lang_stopword_scores": q_lang_stopword_scores,
     "url_normalize": q_url_normalize,
     "url_normalize_youtube": q_url_normalize_youtube,
@@ -1563,6 +1601,19 @@ ORACLE_SQL = {
         "COALESCE(h.n, 0) > 0 AS contaminated "
         "FROM documents d LEFT JOIN h USING (doc_id) "
         "WHERE d.doc_id >= 50 ORDER BY doc_id"),
+    "pii_redact": (
+        "WITH d AS (SELECT doc_id, text || ' contact user' || doc_id || "
+        "'@mail' || (doc_id % 7) || '.example.com or +1-555-' || "
+        "lpad(CAST(doc_id * 37 % 10000 AS VARCHAR), 4, '0') || ' now' "
+        "AS dirty FROM documents) "
+        "SELECT doc_id, "
+        f"CAST(len(regexp_extract_all(dirty, '{_PII_EMAIL}')) AS BIGINT) "
+        "AS n_emails, "
+        f"CAST(len(regexp_extract_all(dirty, '{_PII_PHONE}')) AS BIGINT) "
+        "AS n_phones, "
+        f"md5(regexp_replace(regexp_replace(dirty, '{_PII_EMAIL}', "
+        f"'<EMAIL>', 'g'), '{_PII_PHONE}', '<PHONE>', 'g')) AS clean_md5 "
+        "FROM d ORDER BY doc_id"),
     "repetition_filter": (
         f"WITH t AS (SELECT doc_id, {_DUCK_TOKENS} AS tk FROM documents), "
         "b AS (SELECT doc_id, array_to_string(tk[i:i+1], ' ') AS g "

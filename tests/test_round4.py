@@ -321,6 +321,18 @@ def test_decontaminate_matches_duckdb(spark):
     assert all(d >= 50 for d, _, _ in got)
 
 
+def test_pii_redact_matches_duckdb(spark):
+    from dedup.queries import ORACLE_SQL, q_pii_redact
+
+    got = [(r["doc_id"], r["n_emails"], r["n_phones"], r["clean_md5"])
+           for r in q_pii_redact(spark, SF).collect()]
+    want = _duck(SF, ORACLE_SQL["pii_redact"])
+    assert got == [tuple(w) for w in want]
+    # the planted contact line is found and redacted in every doc, and the
+    # md5 equality above proves byte-identical redaction cross-engine
+    assert all(e >= 1 and p >= 1 for _, e, p, _ in got)
+
+
 def test_repetition_filter_matches_duckdb(spark):
     from dedup.queries import ORACLE_SQL, q_repetition_filter
 
