@@ -1125,6 +1125,50 @@ def q_stream_pairs(spark, sf_dir):
     return result
 
 
+def q_stream_state_evict(spark, sf_dir):
+    """Streaming state-ROW compaction end-to-end as a driver row
+    (streaming.evict_expired_pair_state): drop A (even doc_ids) through
+    the stateful pair stream, evict EVERY bucket row (ttl=0, verified
+    empty via the state data source), then drop B (odd doc_ids) through
+    the same checkpoint. Because the state store was compacted between
+    drops, drop B pairs only within itself — the output must equal the
+    union of the two drops run through FRESH single-node replicas (state
+    reset models the eviction), with NO cross-drop pairs."""
+    import glob
+    import os
+    import shutil
+    import tempfile
+    import time
+
+    from dedup.streaming import (evict_expired_pair_state, read_pair_state,
+                                 run_stream_candidate_pairs)
+
+    c = docs_as_corpus(spark, sf_dir).select("url", "text", "doc_id")
+    base = tempfile.mkdtemp(prefix="evictq_")
+    src, ckpt, out = f"{base}/src", f"{base}/ckpt", f"{base}/out"
+    os.makedirs(src)
+    schema = "url string, text string"
+    for drop_no, pred in enumerate(("doc_id % 2 = 0", "doc_id % 2 = 1")):
+        tmp = f"{base}/tmp{drop_no}"
+        (c.where(pred).select("url", "text").coalesce(1)
+         .write.parquet(tmp))
+        part = glob.glob(f"{tmp}/part-*.parquet")[0]
+        shutil.copy(part, f"{src}/drop{drop_no}.parquet")
+        q = run_stream_candidate_pairs(spark, src, ckpt, out, PARITY_CONFIG,
+                                       schema=schema)
+        q.awaitTermination()
+        if drop_no == 0:
+            time.sleep(0.05)  # last_seen_ms strictly behind the evict time
+            evict_expired_pair_state(spark, src, ckpt, state_ttl_ms=0,
+                                     output_dir=out)
+            assert read_pair_state(spark, ckpt).count() == 0
+    result = (spark.read.parquet(out)
+              .select("a", "b", "match_source").distinct()
+              .orderBy("a", "b", "match_source").localCheckpoint())
+    shutil.rmtree(base, ignore_errors=True)
+    return result
+
+
 def q_ingest_two_drops(spark, sf_dir):
     """Incremental ingest composition (streaming.ingest_drop — the
     engine's continuous-crawl flagship) as a driver row: two ordered
@@ -1317,6 +1361,7 @@ QUERIES = {
     "config_clamp": q_config_clamp,
     "clusters_incremental": q_clusters_incremental,
     "stream_pairs": q_stream_pairs,
+    "stream_state_evict": q_stream_state_evict,
     "ingest_two_drops": q_ingest_two_drops,
     "pipeline_resume": q_pipeline_resume,
     "semantic_dedup": q_semantic_dedup,

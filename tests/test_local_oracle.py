@@ -83,7 +83,7 @@ def test_fixture_file_exists_and_covers_expected_queries():
         "permutation_coeffs", "minhash_signatures_engine", "candidate_stats",
         "clusters_incremental", "stream_pairs", "semantic_dedup",
         "dup_clusters_engine", "embedding_knn_ivf_trained",
-        "ingest_two_drops",
+        "ingest_two_drops", "stream_state_evict",
     }
     for name, d in data.items():
         assert d["rows"], f"{name} fixture is empty"

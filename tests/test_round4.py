@@ -8,6 +8,7 @@ from __future__ import annotations
 import duckdb
 import numpy as np
 import pytest
+from hypothesis import given, settings, strategies as st
 
 SF = "/root/testdata/sf0.001"
 
@@ -123,6 +124,55 @@ def test_engine_prefilter_never_drops_true_dups(spark):
             members = by_cluster[c]
             assert any(not m.startswith("https://mirror.net/")
                        for m in members), (u, members)
+
+
+def _slow_rolling(s: bytes, k: int):
+    """Per-window reference of the engine char-shingle spec."""
+    M, B = 1 << 32, 0x9E3779B1
+
+    def fmix(x):
+        x ^= x >> 16
+        x = (x * 0x85EBCA6B) % M
+        x ^= x >> 13
+        x = (x * 0xC2B2AE35) % M
+        x ^= x >> 16
+        return x
+
+    k = min(k, len(s))
+    return sorted({
+        fmix(sum(s[i + j] * pow(B, j, M) for j in range(k)) % M)
+        for i in range(len(s) - k + 1)})
+
+
+@given(st.lists(st.text(st.characters(blacklist_categories=("Cs",)),
+                        min_size=1, max_size=8),
+                min_size=1, max_size=25),
+       st.sampled_from([3, 9, 25]))
+@settings(max_examples=40, deadline=None)
+def test_rolling_char_shingles_match_spec(words, k):
+    """Vectorized rolling hash == per-window spec, incl. multi-byte
+    UTF-8 (windows slide over BYTES of the encoded join)."""
+    from dedup.signature import char_shingle_hashes
+
+    got = char_shingle_hashes(words, k)
+    assert got.tolist() == _slow_rolling(" ".join(words).encode(), k)
+
+
+@given(st.lists(st.tuples(
+    st.lists(st.integers(0, 2**32 - 1), max_size=30),
+    st.lists(st.integers(0, 2**32 - 1), max_size=30)), max_size=20))
+@settings(max_examples=40, deadline=None)
+def test_batch_jaccards_property(pairs):
+    import pandas as pd
+
+    from dedup.verify import batch_jaccards
+
+    a = [np.array(sorted(set(x)), dtype=np.int64) for x, _ in pairs]
+    b = [np.array(sorted(set(y)), dtype=np.int64) for _, y in pairs]
+    got = batch_jaccards(pd.Series(a, dtype=object),
+                         pd.Series(b, dtype=object))
+    for i, (x, y) in enumerate(pairs):
+        assert got[i] == _brute_jaccard(x, y)
 
 
 # --- connected components: dense int64 encoding -----------------------------

@@ -322,6 +322,18 @@ def gen_fixtures(sf_dir: str) -> dict:
         "rows": [list(t) for t in lo.local_stream_pairs(drops, cfg)],
     }
 
+    # --- stream_state_evict: drop A, evict ALL bucket state rows (ttl=0),
+    # drop B — with the state store compacted between drops, drop B pairs
+    # ONLY within itself. Oracle = union of the two drops run through
+    # FRESH replicas (state reset models the eviction).
+    evicted = sorted(set(lo.local_stream_pairs([drops[0]], cfg))
+                     | set(lo.local_stream_pairs([drops[1]], cfg)))
+    fixtures["stream_state_evict"] = {
+        "columns": [["a", "VARCHAR"], ["b", "VARCHAR"],
+                    ["match_source", "VARCHAR"]],
+        "rows": [list(t) for t in evicted],
+    }
+
     # --- semantic_dedup (SemDeDup-style greedy keep/drop per IVF cell);
     # input = embeddings + planted exact clones (vec_id < 50 -> +100000)
     from dedup.queries import SEM_CELL_CAP, SEM_DEDUP_T
