@@ -316,7 +316,8 @@ def dedupe_metadata(signatures: DataFrame, source: SourceMetadata,
                 if sh is None or src_sh.size == 0:
                     out.append(None)
                     continue
-                cand = np.asarray(sh, dtype=np.int64)
+                # stored shingles are int32 bit patterns of uint32 hashes
+                cand = np.asarray(sh, dtype=np.int64) & 0xFFFFFFFF
                 idx = np.searchsorted(src_sh, cand)
                 np.minimum(idx, src_sh.size - 1, out=idx)
                 inter = int(np.count_nonzero(src_sh[idx] == cand))

@@ -39,10 +39,17 @@ from dedup.coeffs import load_coeffs
 
 _P = np.uint64(MINHASH_PRIME)
 
+# shingles are uint32 hash values stored as their INT32 bit pattern
+# (array<int>, half the bytes of array<bigint>): the shingle column is the
+# widest thing the engine materializes (10-100x the minhash width in char
+# mode) and rides the verify stage's survivor-pair joins, so its width is
+# a first-order scale cost. Arrays are sorted in UNSIGNED order before the
+# bit-pattern cast; consumers reconstruct with (int64 & 0xFFFFFFFF), under
+# which the stored order is ascending again.
 SIGNATURE_SCHEMA = (
     "url string, norm_url string, norm_redirect string, "
     "minhash array<bigint>, simhash bigint, "
-    "shingles array<bigint>, n_tokens int"
+    "shingles array<int>, n_tokens int"
 )
 
 
@@ -308,7 +315,9 @@ def signatures_table(corpus, cfg: DedupConfig, text_col: str = "text",
                 sigs.append(minhash_signature(arr, A, B))
                 simhashes.append(simhash64(arr))
                 if keep_shingles:
-                    shingles_out.append(np.sort(arr).astype(np.int64))
+                    # sorted unsigned, stored as the int32 bit pattern
+                    shingles_out.append(
+                        np.sort(arr).astype(np.uint32).view(np.int32))
                 else:
                     shingles_out.append(None)
             out = {

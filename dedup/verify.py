@@ -40,7 +40,9 @@ def cosine_similarity(sig1: np.ndarray, sig2: np.ndarray) -> float:
 
 def jaccard_cols(shingles_a, shingles_b):
     """Exact Jaccard on (sorted, distinct) shingle arrays — native expression,
-    no Python."""
+    no Python. Works unchanged on the int32 bit-pattern storage: two stored
+    values are equal iff the underlying uint32 hashes are, which is all
+    intersect/union sizes read."""
     inter = F.size(F.array_intersect(shingles_a, shingles_b))
     union = F.size(F.array_union(shingles_a, shingles_b))
     return F.when(union > 0, inter.cast("double") / union.cast("double")
@@ -75,10 +77,14 @@ def batch_jaccards(sh_a_series, sh_b_series) -> np.ndarray:
     """
     n = len(sh_a_series)
     empty = np.empty(0, dtype=np.int64)
-    a_arrays = [np.asarray(x, dtype=np.int64) if x is not None else empty
-                for x in sh_a_series]
-    b_arrays = [np.asarray(x, dtype=np.int64) if x is not None else empty
-                for x in sh_b_series]
+    # stored arrays are int32 BIT PATTERNS of the uint32 hashes (see
+    # dedup/signature.SIGNATURE_SCHEMA); masking after the int64 widen
+    # reconstructs the unsigned values, under which each array is sorted.
+    # (A nonnegative legacy int64 array passes through unchanged.)
+    a_arrays = [(np.asarray(x, dtype=np.int64) & 0xFFFFFFFF)
+                if x is not None else empty for x in sh_a_series]
+    b_arrays = [(np.asarray(x, dtype=np.int64) & 0xFFFFFFFF)
+                if x is not None else empty for x in sh_b_series]
     lens_a = np.fromiter((x.size for x in a_arrays), np.int64, count=n)
     lens_b = np.fromiter((x.size for x in b_arrays), np.int64, count=n)
     flat_a = np.concatenate(a_arrays) if n else empty

@@ -40,8 +40,11 @@ class TestSignatureStage:
             if not words:
                 assert got is None
             else:
-                assert set(got) == expect
-                assert got == sorted(got)  # deterministic output order
+                # stored as int32 bit patterns of the uint32 crc32 values,
+                # sorted in the unsigned domain
+                unsigned = [v & 0xFFFFFFFF for v in got]
+                assert set(unsigned) == expect
+                assert unsigned == sorted(unsigned)
 
     def test_n_tokens(self, spark, detector):
         pdf = corpus_pdf(40, seed=9)
