@@ -38,6 +38,12 @@ _PAIR_EXPANSION = (
     "flatten(transform(us, (x, i) -> "
     "transform(slice(us, i + 2, size(us) - i - 1), y -> struct(x as a, y as b))))"
 )
+# payload variant: members are structs (url, _pl); pairs carry both payloads
+_PAIR_EXPANSION_PAYLOAD = (
+    "flatten(transform(us, (x, i) -> "
+    "transform(slice(us, i + 2, size(us) - i - 1), "
+    "y -> struct(x.url as a, y.url as b, x._pl as pa, y._pl as pb))))"
+)
 
 
 def _join_on_keys(big: DataFrame, small: DataFrame, key_cols: list[str],
@@ -57,7 +63,8 @@ def _join_on_keys(big: DataFrame, small: DataFrame, key_cols: list[str],
 
 def pairs_within_groups(members: DataFrame, key_cols: list[str],
                         cap: int, member_col: str = "url",
-                        keep_keys: bool = False) -> DataFrame:
+                        keep_keys: bool = False,
+                        payload_col: str | None = None) -> DataFrame:
     """(key..., member) -> (a, b) pairs within each key group, skew-aware.
 
     Groups with <= cap members emit all pairs via native expansion; hot
@@ -67,56 +74,66 @@ def pairs_within_groups(members: DataFrame, key_cols: list[str],
     label pair provenance). Null key values form their own groups (null-safe
     joins throughout).
 
+    With `payload_col`, each member carries one scalar payload through the
+    expansion and every emitted pair exposes both sides as (pa, pb) — this
+    lets callers apply pair-level prefilters (e.g. the engine's SimHash
+    Hamming gate) INSIDE the same codegen stage, before the raw pair rows
+    ever reach a shuffle/aggregation. Member ordering and dedup semantics
+    are unchanged: a url maps to exactly one payload, so sorting/distinct
+    over (url, payload) structs equals sorting/distinct over urls.
+
     Shuffle budget: two exchanges, deliberately asymmetric — the hot-key
     pre-pass shuffles only (key, partial-count) pairs after map-side
     combine (no member strings), and the main collect_set aggregation
     shuffles the raw (key, member) rows once. Forcing both onto one
     repartition exchange was measured WORSE: exchange reuse does not fire
     across the agg/join branches, so the raw table would shuffle twice."""
-    m = members.select(*key_cols, F.col(member_col).alias("url"))
+    cols = [*key_cols, F.col(member_col).alias("url")]
+    if payload_col is not None:
+        cols.append(F.col(payload_col).alias("_pl"))
+    m = members.select(*cols)
     hot_keys = (m.groupBy(*key_cols).agg(F.count(F.lit(1)).alias("n"))
                 .where(F.col("n") > cap).drop("n")
                 .withColumn("_hot", F.lit(True)))
     marked = _join_on_keys(m, hot_keys, key_cols, "left")
 
+    member_expr = (F.struct("url", "_pl") if payload_col is not None
+                   else F.col("url"))
+    expansion = (_PAIR_EXPANSION_PAYLOAD if payload_col is not None
+                 else _PAIR_EXPANSION)
+    pair_cols = (["p.a", "p.b", "p.pa", "p.pb"]
+                 if payload_col is not None else ["p.a", "p.b"])
     cold_groups = (marked.where(F.col("_hot").isNull())
                    .groupBy(*key_cols)
-                   .agg(F.sort_array(F.collect_set("url")).alias("us"))
+                   .agg(F.sort_array(F.collect_set(member_expr)).alias("us"))
                    .where(F.size("us") > 1))
     cold_pairs = (cold_groups
                   .select(*key_cols,
-                          F.explode(F.expr(_PAIR_EXPANSION)).alias("p"))
-                  .select(*key_cols, "p.a", "p.b"))
+                          F.explode(F.expr(expansion)).alias("p"))
+                  .select(*key_cols, *pair_cols))
 
     hot = marked.where(F.col("_hot").isNotNull()).drop("_hot")
-    hot_centers = hot.groupBy(*key_cols).agg(F.min("url").alias("a"))
-    hot_pairs = (_join_on_keys(hot, hot_centers, key_cols, "inner")
-                 .where(F.col("url") != F.col("a"))
-                 .select(*key_cols, "a", F.col("url").alias("b")))
+    if payload_col is not None:
+        # min over (url, payload) structs == min url (payload is a pure
+        # function of the url)
+        hot_centers = (hot.groupBy(*key_cols)
+                       .agg(F.min(F.struct("url", "_pl")).alias("_c"))
+                       .select(*key_cols, F.col("_c.url").alias("a"),
+                               F.col("_c._pl").alias("pa")))
+        hot_pairs = (_join_on_keys(hot, hot_centers, key_cols, "inner")
+                     .where(F.col("url") != F.col("a"))
+                     .select(*key_cols, "a", F.col("url").alias("b"),
+                             "pa", F.col("_pl").alias("pb")))
+    else:
+        hot_centers = hot.groupBy(*key_cols).agg(F.min("url").alias("a"))
+        hot_pairs = (_join_on_keys(hot, hot_centers, key_cols, "inner")
+                     .where(F.col("url") != F.col("a"))
+                     .select(*key_cols, "a", F.col("url").alias("b")))
 
     out = cold_pairs.unionByName(hot_pairs)
-    if keep_keys:
-        return out.select(*key_cols, "a", "b")
-    return out.select("a", "b")
-
-
-def simhash_prefilter(pairs: DataFrame, signatures: DataFrame,
-                      cfg: DedupConfig) -> DataFrame:
-    """Engine-mode optional prefilter: drop candidate pairs whose SimHash
-    Hamming distance exceeds cfg.simhash_hamming_max. Native bit_count, no
-    Python. NEVER applied in parity runs (the reference has no SimHash)."""
-    sim = signatures.select("url", "simhash")
-    pa = sim.select(F.col("url").alias("a"), F.col("simhash").alias("_sim_a"))
-    pb = sim.select(F.col("url").alias("b"), F.col("simhash").alias("_sim_b"))
-    return (
-        pairs.join(pa, "a").join(pb, "b")
-        .where(
-            (F.col("match_source") == "url_exact")
-            | (F.bit_count(F.col("_sim_a").bitwiseXOR(F.col("_sim_b")))
-               <= cfg.simhash_hamming_max)
-        )
-        .drop("_sim_a", "_sim_b")
-    )
+    keep = ([*key_cols] if keep_keys else []) + ["a", "b"] + \
+        (["pa", "pb"] if payload_col is not None else [])
+    return out.select(*keep)
 
 
 GROUP_KEY_COLS = ["gk_band", "gk_url", "gk_txt"]
@@ -139,7 +156,8 @@ def match_source_from_rank(rank_col):
             .otherwise(F.lit("description")))
 
 
-def unified_group_keys(signatures: DataFrame, cfg: DedupConfig) -> DataFrame:
+def unified_group_keys(signatures: DataFrame, cfg: DedupConfig,
+                       with_simhash: bool = False) -> DataFrame:
     """(url, gk_band BIGINT?, gk_url STRING?, gk_txt STRING?): ALL blocking
     keys in one scan, exactly one of the three columns non-null per row.
 
@@ -156,13 +174,21 @@ def unified_group_keys(signatures: DataFrame, cfg: DedupConfig) -> DataFrame:
     'd:<key>' — the reference's title and description-prefix candidate
     searches, app/wlo_client.py:265-311): the kind prefix keeps title and
     description key spaces disjoint inside one column, so one grouped
-    pair-emission pass still covers every key family."""
+    pair-emission pass still covers every key family.
+
+    `with_simhash` appends the doc's simhash to every key row (8 bytes) so
+    the engine's Hamming gate can run inside the pair expansion without a
+    join back to the signatures table; the persisted key index keeps the
+    slim schema."""
     b, r = cfg.lsh_bands, cfg.lsh_rows
     has_txt = "title_keys" in signatures.columns
     mk = ("struct({band} AS gk_band, {url} AS gk_url, {txt} AS gk_txt)"
           .format)
     null_b = "CAST(NULL AS BIGINT)"
     null_s = "CAST(NULL AS STRING)"
+    # (persisting precomputed band keys in the signatures table was
+    # benchmarked: the re-derivation is scan-bound, not hash-bound, so the
+    # stored column gave no wall win and was not taken)
     parts = [
         f"CASE WHEN minhash IS NOT NULL THEN transform(sequence(0, {b - 1}), "
         f"i -> {mk(band=f'xxhash64(i, slice(minhash, i * {r} + 1, {r}))', url=null_s, txt=null_s)}) "
@@ -182,9 +208,14 @@ def unified_group_keys(signatures: DataFrame, cfg: DedupConfig) -> DataFrame:
             f"CASE WHEN desc_key IS NOT NULL THEN array({d_key}) "
             "ELSE array() END")
     entries = "concat(" + ", ".join(parts) + ")"
+    out_cols = ["url", "k.gk_band", "k.gk_url", "k.gk_txt"]
+    sel_cols = ["url"]
+    if with_simhash:
+        out_cols.append("simhash")
+        sel_cols.append("simhash")
     return (signatures
-            .select("url", F.explode(F.expr(entries)).alias("k"))
-            .select("url", "k.gk_band", "k.gk_url", "k.gk_txt"))
+            .select(*sel_cols, F.explode(F.expr(entries)).alias("k"))
+            .select(*out_cols))
 
 
 def candidate_pairs(signatures: DataFrame,
@@ -196,21 +227,39 @@ def candidate_pairs(signatures: DataFrame,
     window). A pair seen under any URL key is url_exact and wins: it scores
     1.0 regardless of text, like the reference's short-circuit at
     app/hash_detector.py:263-266."""
-    keys = unified_group_keys(signatures, cfg)
-    tagged = pairs_within_groups(keys, GROUP_KEY_COLS,
-                                 cfg.band_bucket_cap, keep_keys=True)
+    if use_simhash_prefilter:
+        # Engine mode: SimHash rides the key emission as a member payload
+        # so the Hamming gate runs INSIDE the pair-expansion codegen
+        # stage — the raw pair rows a boilerplate-heavy char-shingle
+        # banding emits (measured 17.4M at 100k docs vs 131k survivors)
+        # never reach the labeling aggregation's shuffle. url-key pair
+        # occurrences bypass the gate (url_exact scores 1.0 without a
+        # signature, app/hash_detector.py:263-266); a null simhash on
+        # either side fails the gate, exactly like the former join-based
+        # prefilter. NEVER applied in parity runs (the reference has no
+        # SimHash).
+        keys = unified_group_keys(signatures, cfg, with_simhash=True)
+        tagged = pairs_within_groups(keys, GROUP_KEY_COLS,
+                                     cfg.band_bucket_cap, keep_keys=True,
+                                     payload_col="simhash")
+        tagged = (tagged.where(
+            F.col("gk_url").isNotNull()
+            | (F.bit_count(F.col("pa").bitwiseXOR(F.col("pb")))
+               <= cfg.simhash_hamming_max))
+            .drop("pa", "pb"))
+    else:
+        keys = unified_group_keys(signatures, cfg)
+        tagged = pairs_within_groups(keys, GROUP_KEY_COLS,
+                                     cfg.band_bucket_cap, keep_keys=True)
     # provenance priority mirrors the reference's field order (url exact
     # short-circuits, hash bands are the signature path, title and
     # description-prefix searches are the metadata recall paths)
-    pairs = (tagged.groupBy("a", "b")
-             .agg(F.max(F.col("gk_url").isNotNull()).alias("_exact"),
-                  F.max(F.col("gk_band").isNotNull()).alias("_band"),
-                  F.max(F.col("gk_txt").startswith("t:")).alias("_title"))
-             .select("a", "b",
-                     F.when(F.col("_exact"), F.lit("url_exact"))
-                     .when(F.col("_band"), F.lit("lsh"))
-                     .when(F.col("_title"), F.lit("title"))
-                     .otherwise(F.lit("description")).alias("match_source")))
-    if use_simhash_prefilter:
-        pairs = simhash_prefilter(pairs, signatures, cfg)
-    return pairs
+    return (tagged.groupBy("a", "b")
+            .agg(F.max(F.col("gk_url").isNotNull()).alias("_exact"),
+                 F.max(F.col("gk_band").isNotNull()).alias("_band"),
+                 F.max(F.col("gk_txt").startswith("t:")).alias("_title"))
+            .select("a", "b",
+                    F.when(F.col("_exact"), F.lit("url_exact"))
+                    .when(F.col("_band"), F.lit("lsh"))
+                    .when(F.col("_title"), F.lit("title"))
+                    .otherwise(F.lit("description")).alias("match_source")))
