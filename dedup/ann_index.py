@@ -50,8 +50,11 @@ def train_kmeans(M: np.ndarray, k: int,
     matmul) and recomputes per-cell means with np.add.reduceat over a
     stable sort — no RNG, no order-dependent accumulation. Empty cells
     keep their previous centroid. Returns the (k, dim) row-normalized
-    centroid matrix."""
-    Mn = M / np.linalg.norm(M, axis=1, keepdims=True)
+    centroid matrix. Zero-norm input rows normalize against 1.0 instead
+    of NaN-poisoning the whole matrix."""
+    norms = np.linalg.norm(M, axis=1, keepdims=True)
+    norms[norms == 0.0] = 1.0
+    Mn = M / norms
     k = min(k, Mn.shape[0])
     C = Mn[:k].copy()
     for _ in range(iters):
@@ -149,7 +152,9 @@ def ivf_pairs(e: DataFrame, C: np.ndarray, cos_min: float,
     @F.pandas_udf("array<int>")
     def cells_udf(vs: pd.Series) -> pd.Series:
         M = np.stack(vs.to_numpy()).astype(np.float64, copy=False)
-        Mn = M / np.linalg.norm(M, axis=1, keepdims=True)
+        norms = np.linalg.norm(M, axis=1, keepdims=True)
+        norms[norms == 0.0] = 1.0
+        Mn = M / norms
         sims = Mn @ Cn_bc.value.T
         top = np.argsort(-sims, axis=1, kind="stable")[:, :nprobe]
         return pd.Series(list(top.astype(np.int32)))

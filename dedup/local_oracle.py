@@ -550,7 +550,9 @@ def local_ivf_trained_pairs(vec_rows, cos_min: float, bucket_cap: int,
     sample = M[order[:IVF_TRAIN_SAMPLE]]
     C = train_kmeans(sample, ivf_k_for(len(ids)))
     Cn = C / np.linalg.norm(C, axis=1, keepdims=True)
-    Mn = M / np.linalg.norm(M, axis=1, keepdims=True)
+    mn = np.linalg.norm(M, axis=1, keepdims=True)
+    mn[mn == 0.0] = 1.0            # mirror the engine's zero-norm guard
+    Mn = M / mn
     sims = Mn @ Cn.T
     top = np.argsort(-sims, axis=1, kind="stable")[:, :nprobe]
     member_rows = []
