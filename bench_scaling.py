@@ -233,7 +233,8 @@ emission on hot buckets.
 | 100k docs, x8 tokens, 512 files | local[2] 270 d/s | local[8] 885 d/s | **0.819** | round 2 final (fine-grained splits: >= 16 task waves/level; calmer guest: 5.3 s steal/12 s) |
 | 100k docs, x8 tokens, 512 files | local[2] 254 d/s | local[8] 788 d/s | 0.777 | round 3 (same-window pair; heavy-steal session: 2.7-39.5 s/12 s, 19-24 effective cores) |
 | 100k docs, x8 tokens, 512 files | local[2] 280 d/s | local[8] 857 d/s | 0.765 | round 4 first sweep (5.7-10.7 s steal/12 s, 6.5-6.8 effective of 8 at the 8-spinner level) |
-| 100k docs, x8 tokens, 512 files | local[2] 311 d/s | local[8] 1005 d/s | **0.806** | round 4 final (calm window: 0.08 s steal/12 s; chunked-MinHash optimization in) |
+| 100k docs, x8 tokens, 512 files | local[2] 311 d/s | local[8] 1005 d/s | **0.806** | round 4 banked best (calm window: 0.08 s steal/12 s; chunked-MinHash optimization in) |
+| 100k docs, x8 tokens, 512 files | local[2] 328 d/s | local[8] 1003 d/s | 0.764 | round 4 third attempt (also calm): 2-core level gains more from calm windows than the ceiling-bound 8-core level |
 
 ## Headline bench (driver contract)
 
