@@ -36,6 +36,35 @@ def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
 
 
+import contextlib
+
+
+# Streaming/pipeline driver queries run at a corpus SUBSET (doc_id below
+# this bound, mirrors included) — they exercise checkpointed state
+# machinery whose cost is dominated by per-micro-batch overhead, not data
+# volume, and the driver's correctness budget is shared across 55+
+# queries. The subset keeps every planted mirror family (doc_id < 50) so
+# cross-drop duplicate pairs still exist. Fixtures are generated at the
+# same bound (tools/gen_oracle_fixtures.py).
+STREAM_QUERY_DOC_BOUND = 120
+
+
+@contextlib.contextmanager
+def _few_shuffle_partitions(spark: SparkSession, n: int = 8):
+    """Temporarily lower spark.sql.shuffle.partitions: the stateful
+    streaming queries pay per-partition state-store file overhead every
+    micro-batch, which at a few hundred driver-check rows is pure waste at
+    the session default (32+). Restored on exit so the driver session is
+    untouched."""
+    key = "spark.sql.shuffle.partitions"
+    old = spark.conf.get(key)
+    spark.conf.set(key, str(n))
+    try:
+        yield
+    finally:
+        spark.conf.set(key, old)
+
+
 def docs_as_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """documents -> corpus shape: synthesized deterministic url + text.
     doc_id < 50 additionally appears as a planted mirror copy (exact dup)."""
@@ -1087,6 +1116,59 @@ def q_clusters_incremental(spark, sf_dir):
     return merge_assignments(base, later)
 
 
+def q_stream_windowed_counts(spark, sf_dir):
+    """Watermarked tumbling-window ingest counts (streaming.
+    stream_windowed_counts, §2.6) as a driver row: two ordered availableNow
+    drops through one checkpoint — drop 1 carries two full hours of data
+    plus a 12:00 row that advances the watermark to 11:30; drop 2 carries a
+    LATE 9:40 row (behind the watermark — must be dropped by the engine)
+    and a 12:30 row (keeps the 12:00 window open). Final append-mode output
+    = exactly the two finalized windows, late row excluded. Deterministic,
+    so the oracle is inline VALUES SQL."""
+    import datetime as dt
+    import glob
+    import os
+    import shutil
+    import tempfile
+
+    from dedup.streaming import stream_windowed_counts
+
+    def ts(h, m=0):
+        return dt.datetime(2026, 1, 1, h, m)
+
+    base = tempfile.mkdtemp(prefix="winq_")
+    src, ckpt, out = f"{base}/src", f"{base}/ckpt", f"{base}/out"
+    os.makedirs(src)
+    schema = "url string, warc_ts timestamp, lang string"
+    drops = [
+        [(f"u{i}", ts(9, 5 * i), "en") for i in range(4)]
+        + [("v0", ts(10, 10), "de"), ("w0", ts(12, 0), "en")],
+        [("late", ts(9, 40), "en"), ("x0", ts(12, 30), "en")],
+    ]
+    with _few_shuffle_partitions(spark):
+        for drop_no, rows in enumerate(drops):
+            tmp = f"{base}/tmp{drop_no}"
+            spark.createDataFrame(rows, schema).coalesce(1).write.parquet(tmp)
+            part = glob.glob(f"{tmp}/part-*.parquet")[0]
+            shutil.copy(part, f"{src}/drop{drop_no}.parquet")
+            q = (stream_windowed_counts(
+                spark.readStream.schema(schema).parquet(src),
+                watermark="30 minutes", window="1 hour")
+                .writeStream.format("parquet")
+                .option("path", out).option("checkpointLocation", ckpt)
+                .outputMode("append").trigger(availableNow=True).start())
+            q.awaitTermination()
+    result = (spark.read.parquet(out)
+              .select(F.date_format("win_start", "yyyy-MM-dd HH:mm:ss")
+                      .alias("win_start"),
+                      F.date_format("win_end", "yyyy-MM-dd HH:mm:ss")
+                      .alias("win_end"),
+                      "lang", "n_docs")
+              .orderBy("win_start", "lang").localCheckpoint())
+    shutil.rmtree(base, ignore_errors=True)
+    return result
+
+
 def q_stream_pairs(spark, sf_dir):
     """Stateful streaming candidate pairs (applyInPandasWithState, §2.6)
     across TWO ordered availableNow drops sharing one checkpoint: even
@@ -1102,22 +1184,25 @@ def q_stream_pairs(spark, sf_dir):
 
     from dedup.streaming import run_stream_candidate_pairs
 
-    c = docs_as_corpus(spark, sf_dir).select("url", "text", "doc_id")
+    c = (docs_as_corpus(spark, sf_dir)
+         .where(f"doc_id < {STREAM_QUERY_DOC_BOUND}")
+         .select("url", "text", "doc_id"))
     base = tempfile.mkdtemp(prefix="streamq_")
     src, ckpt, out = f"{base}/src", f"{base}/ckpt", f"{base}/out"
     os.makedirs(src)
     schema = "url string, text string"
-    for drop_no, pred in enumerate(("doc_id % 2 = 0", "doc_id % 2 = 1")):
-        # land the drop as ONE flat file in the watched dir (the file
-        # source lists files, not subdirectories)
-        tmp = f"{base}/tmp{drop_no}"
-        (c.where(pred).select("url", "text").coalesce(1)
-         .write.parquet(tmp))
-        part = glob.glob(f"{tmp}/part-*.parquet")[0]
-        shutil.copy(part, f"{src}/drop{drop_no}.parquet")
-        q = run_stream_candidate_pairs(spark, src, ckpt, out, PARITY_CONFIG,
-                                       schema=schema)
-        q.awaitTermination()
+    with _few_shuffle_partitions(spark):
+        for drop_no, pred in enumerate(("doc_id % 2 = 0", "doc_id % 2 = 1")):
+            # land the drop as ONE flat file in the watched dir (the file
+            # source lists files, not subdirectories)
+            tmp = f"{base}/tmp{drop_no}"
+            (c.where(pred).select("url", "text").coalesce(1)
+             .write.parquet(tmp))
+            part = glob.glob(f"{tmp}/part-*.parquet")[0]
+            shutil.copy(part, f"{src}/drop{drop_no}.parquet")
+            q = run_stream_candidate_pairs(spark, src, ckpt, out,
+                                           PARITY_CONFIG, schema=schema)
+            q.awaitTermination()
     result = (spark.read.parquet(out)
               .select("a", "b", "match_source").distinct()
               .orderBy("a", "b", "match_source").localCheckpoint())
@@ -1143,25 +1228,28 @@ def q_stream_state_evict(spark, sf_dir):
     from dedup.streaming import (evict_expired_pair_state, read_pair_state,
                                  run_stream_candidate_pairs)
 
-    c = docs_as_corpus(spark, sf_dir).select("url", "text", "doc_id")
+    c = (docs_as_corpus(spark, sf_dir)
+         .where(f"doc_id < {STREAM_QUERY_DOC_BOUND}")
+         .select("url", "text", "doc_id"))
     base = tempfile.mkdtemp(prefix="evictq_")
     src, ckpt, out = f"{base}/src", f"{base}/ckpt", f"{base}/out"
     os.makedirs(src)
     schema = "url string, text string"
-    for drop_no, pred in enumerate(("doc_id % 2 = 0", "doc_id % 2 = 1")):
-        tmp = f"{base}/tmp{drop_no}"
-        (c.where(pred).select("url", "text").coalesce(1)
-         .write.parquet(tmp))
-        part = glob.glob(f"{tmp}/part-*.parquet")[0]
-        shutil.copy(part, f"{src}/drop{drop_no}.parquet")
-        q = run_stream_candidate_pairs(spark, src, ckpt, out, PARITY_CONFIG,
-                                       schema=schema)
-        q.awaitTermination()
-        if drop_no == 0:
-            time.sleep(0.05)  # last_seen_ms strictly behind the evict time
-            evict_expired_pair_state(spark, src, ckpt, state_ttl_ms=0,
-                                     output_dir=out)
-            assert read_pair_state(spark, ckpt).count() == 0
+    with _few_shuffle_partitions(spark):
+        for drop_no, pred in enumerate(("doc_id % 2 = 0", "doc_id % 2 = 1")):
+            tmp = f"{base}/tmp{drop_no}"
+            (c.where(pred).select("url", "text").coalesce(1)
+             .write.parquet(tmp))
+            part = glob.glob(f"{tmp}/part-*.parquet")[0]
+            shutil.copy(part, f"{src}/drop{drop_no}.parquet")
+            q = run_stream_candidate_pairs(spark, src, ckpt, out,
+                                           PARITY_CONFIG, schema=schema)
+            q.awaitTermination()
+            if drop_no == 0:
+                time.sleep(0.05)  # last_seen_ms strictly behind evict time
+                evict_expired_pair_state(spark, src, ckpt, state_ttl_ms=0,
+                                         output_dir=out)
+                assert read_pair_state(spark, ckpt).count() == 0
     result = (spark.read.parquet(out)
               .select("a", "b", "match_source").distinct()
               .orderBy("a", "b", "match_source").localCheckpoint())
@@ -1187,20 +1275,23 @@ def q_ingest_two_drops(spark, sf_dir):
 
     from dedup.streaming import ingest_drop
 
-    c = docs_as_corpus(spark, sf_dir).select("url", "text", "doc_id")
+    c = (docs_as_corpus(spark, sf_dir)
+         .where(f"doc_id < {STREAM_QUERY_DOC_BOUND}")
+         .select("url", "text", "doc_id"))
     base = tempfile.mkdtemp(prefix="ingestq_")
     src, wd = f"{base}/src", f"{base}/wd"
     os.makedirs(src)
     result = None
-    for drop_no, pred in enumerate(("doc_id % 2 = 0", "doc_id % 2 = 1")):
-        tmp = f"{base}/tmp{drop_no}"
-        (c.where(pred).select("url", "text").coalesce(1)
-         .write.parquet(tmp))
-        part = glob.glob(f"{tmp}/part-*.parquet")[0]
-        shutil.copy(part, f"{src}/drop{drop_no}.parquet")
-        result = ingest_drop(spark, src, wd, PARITY_CONFIG,
-                             schema="url string, text string")
-    out = result.orderBy("url").localCheckpoint()
+    with _few_shuffle_partitions(spark):
+        for drop_no, pred in enumerate(("doc_id % 2 = 0", "doc_id % 2 = 1")):
+            tmp = f"{base}/tmp{drop_no}"
+            (c.where(pred).select("url", "text").coalesce(1)
+             .write.parquet(tmp))
+            part = glob.glob(f"{tmp}/part-*.parquet")[0]
+            shutil.copy(part, f"{src}/drop{drop_no}.parquet")
+            result = ingest_drop(spark, src, wd, PARITY_CONFIG,
+                                 schema="url string, text string")
+        out = result.orderBy("url").localCheckpoint()
     shutil.rmtree(base, ignore_errors=True)
     return out
 
@@ -1216,15 +1307,18 @@ def q_pipeline_resume(spark, sf_dir):
 
     from dedup.pipeline import DedupPipeline
 
-    c = docs_as_corpus(spark, sf_dir)
+    # the output (stage name + skipped flag per run) is corpus-independent,
+    # so the resume contract is exercised on a small subset
+    c = docs_as_corpus(spark, sf_dir).where("doc_id < 30")
     wd = tempfile.mkdtemp(prefix="plq_")
     rows = []
-    for run_no in (0, 1, 2):
-        p = DedupPipeline(spark, wd, PARITY_CONFIG)
-        if run_no == 2:
-            p.invalidate()
-        p.run(c)
-        rows += [(run_no, si.name, si.skipped) for si in p.stage_infos]
+    with _few_shuffle_partitions(spark):
+        for run_no in (0, 1, 2):
+            p = DedupPipeline(spark, wd, PARITY_CONFIG)
+            if run_no == 2:
+                p.invalidate()
+            p.run(c)
+            rows += [(run_no, si.name, si.skipped) for si in p.stage_infos]
     import shutil
     shutil.rmtree(wd, ignore_errors=True)
     return (spark.createDataFrame(
@@ -1309,7 +1403,18 @@ def q_semantic_dedup(spark, sf_dir):
 
 # --- registry --------------------------------------------------------------------
 
+# Registry order = driver check order. The driver's correctness budget can
+# run out before the tail (r03 checked 49, r04 checked 50 of 55), so the
+# LEAST-PROVEN queries go FIRST: the streaming/pipeline entries that have
+# never (or rarely) had a driver row, then everything else in historical
+# order (all green since r04 or earlier).
 QUERIES = {
+    "stream_state_evict": q_stream_state_evict,
+    "ingest_two_drops": q_ingest_two_drops,
+    "stream_windowed_counts": q_stream_windowed_counts,
+    "stream_pairs": q_stream_pairs,
+    "pipeline_resume": q_pipeline_resume,
+    "semantic_dedup": q_semantic_dedup,
     "token_count": q_token_count,
     "text_quality": q_text_quality,
     "quality_filter": q_quality_filter,
@@ -1360,11 +1465,6 @@ QUERIES = {
     "candidate_stats": q_candidate_stats,
     "config_clamp": q_config_clamp,
     "clusters_incremental": q_clusters_incremental,
-    "stream_pairs": q_stream_pairs,
-    "stream_state_evict": q_stream_state_evict,
-    "ingest_two_drops": q_ingest_two_drops,
-    "pipeline_resume": q_pipeline_resume,
-    "semantic_dedup": q_semantic_dedup,
 }
 
 # --- fixture oracles --------------------------------------------------------------
@@ -1690,6 +1790,15 @@ ORACLE_SQL = {
         "(2, 'signatures', false), (2, 'pairs', false), "
         "(2, 'verified', false), (2, 'clusters', false)) "
         "AS t(run_no, stage, skipped) ORDER BY run_no, stage"),
+    # watermarked windowed agg (stream_windowed_counts): deterministic
+    # two-drop scenario — only the 9:00 and 10:00 windows finalize; the
+    # late 9:40 row and the open 12:00 window never appear
+    "stream_windowed_counts": (
+        "SELECT win_start, win_end, lang, CAST(n_docs AS BIGINT) AS n_docs "
+        "FROM (VALUES "
+        "('2026-01-01 09:00:00', '2026-01-01 10:00:00', 'en', 4), "
+        "('2026-01-01 10:00:00', '2026-01-01 11:00:00', 'de', 1)) "
+        "AS t(win_start, win_end, lang, n_docs) ORDER BY win_start, lang"),
 }
 
 # VALUES-fixture oracles for the non-SQL-expressible queries (see

@@ -81,17 +81,20 @@ def main():
             n = fn(spark, SF_DIR).count()
             print(f"{name:28s} rows-only: {n} rows")
             continue
+        import time as _time
+        t0 = _time.time()
         try:
             problems = compare_query(spark, con, name, fn, sql)
         except Exception as exc:
             problems = [f"EXCEPTION: {type(exc).__name__}: {exc}"]
+        dt = _time.time() - t0
         if problems:
             failures += 1
-            print(f"{name:28s} MISMATCH")
+            print(f"{name:28s} MISMATCH  [{dt:.1f}s]")
             for p in problems:
                 print("   ", p[:2000])
         else:
-            print(f"{name:28s} OK")
+            print(f"{name:28s} OK  [{dt:.1f}s]")
     spark.stop()
     sys.exit(1 if failures else 0)
 

@@ -68,6 +68,8 @@ def test_stream_pairs_matches_replica(spark):
     from dedup.config import PARITY_CONFIG
     from dedup.queries import q_stream_pairs
 
+    from dedup.queries import STREAM_QUERY_DOC_BOUND
+
     got = [(r["a"], r["b"], r["match_source"])
            for r in q_stream_pairs(spark, SF).collect()]
     con = duckdb.connect()
@@ -78,6 +80,8 @@ def test_stream_pairs_matches_replica(spark):
               for d, t, src in rows]
     corpus += [(f"https://mirror.net/copy/{d}", t, d)
                for _, t, d in [(u, t, d) for u, t, d in corpus if d < 50]]
+    corpus = [(u, t, d) for u, t, d in corpus
+              if d < STREAM_QUERY_DOC_BOUND]
     drops = [[(u, t) for u, t, d in corpus if d % 2 == 0],
              [(u, t) for u, t, d in corpus if d % 2 == 1]]
     want = lo.local_stream_pairs(drops, PARITY_CONFIG)
@@ -88,7 +92,8 @@ def test_stream_pairs_matches_replica(spark):
 
 
 @pytest.mark.parametrize("name", ["config_clamp", "pipeline_resume",
-                                  "quality_filter", "top_terms"])
+                                  "quality_filter", "top_terms",
+                                  "stream_windowed_counts"])
 def test_inline_sql_oracles_match(spark, name):
     """The two new inline-VALUES oracles replicate the driver compare."""
     from tests.harness_oracle import compare_query, duck_connection

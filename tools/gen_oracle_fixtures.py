@@ -303,19 +303,31 @@ def gen_fixtures(sf_dir: str) -> dict:
         "rows": fixtures["dup_clusters"]["rows"],
     }
 
+    # The streaming driver queries run at a corpus SUBSET (see
+    # dedup.queries.STREAM_QUERY_DOC_BOUND — per-micro-batch overhead
+    # dominates, so the driver rows don't need the full corpus); the
+    # fixtures are generated at the same bound.
+    from dedup.queries import STREAM_QUERY_DOC_BOUND
+    sub = [r for r in rows if r[2] < STREAM_QUERY_DOC_BOUND]
+
     # --- ingest_two_drops: the incremental-ingest composition over two
-    # ordered drops must land at the BATCH clustering of the union corpus
-    # (equivalence pytest-asserted; the oracle is therefore the same
-    # single-node dup_clusters rows)
+    # ordered drops must land at the BATCH clustering of the union (subset)
+    # corpus (equivalence pytest-asserted; the oracle is therefore the
+    # single-node batch clustering of the same subset)
+    sub_sigs = lo.local_signatures([(u, t) for u, t, _ in sub], cfg)
+    sub_pairs = lo.local_candidate_pairs(sub_sigs, cfg)
+    sub_keep = [(a, b) for a, b, _, _, _, keep
+                in lo.local_verify(sub_pairs, sub_sigs, cfg) if keep]
     fixtures["ingest_two_drops"] = {
         "columns": [["url", "VARCHAR"], ["cluster_id", "VARCHAR"]],
-        "rows": fixtures["dup_clusters"]["rows"],
+        "rows": [list(t) for t in lo.union_find_clusters(
+            [s.url for s in sub_sigs], sub_keep)],
     }
 
     # --- stream_pairs: two ordered drops (even doc_ids, then odd) through
     # the single-node replica of the stateful-streaming bucket machine
-    drops = [[(u, t) for u, t, d in rows if d % 2 == 0],
-             [(u, t) for u, t, d in rows if d % 2 == 1]]
+    drops = [[(u, t) for u, t, d in sub if d % 2 == 0],
+             [(u, t) for u, t, d in sub if d % 2 == 1]]
     fixtures["stream_pairs"] = {
         "columns": [["a", "VARCHAR"], ["b", "VARCHAR"],
                     ["match_source", "VARCHAR"]],
