@@ -173,7 +173,7 @@ def ivf_pairs(e: DataFrame, C: np.ndarray, cos_min: float,
                  "cast(0.0 as double), (acc, x) -> acc + x)")
     norm = ("sqrt(aggregate(transform({0}, x -> x * x), cast(0.0 as double), "
             "(acc, x) -> acc + x))")
-    cos = dot / (F.expr(norm.format("va")) * F.expr(norm.format("vb")))
+    cos = F.try_divide(dot, F.expr(norm.format("va")) * F.expr(norm.format("vb")))
     return (pairs.join(va, "a").join(vb, "b")
             .select("a", "b", F.round(cos, 6).alias("cos_sim"))
             .where(f"cos_sim > {cos_min}")

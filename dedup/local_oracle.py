@@ -31,6 +31,14 @@ import numpy as np
 
 from dedup.config import DedupConfig
 
+
+def _unit_rows(M: np.ndarray) -> np.ndarray:
+    """Row-normalize with the engine's zero-norm guard (zero rows divide
+    by 1.0 -> all-zero unit row, deterministic argmax)."""
+    norms = np.linalg.norm(M, axis=1, keepdims=True)
+    norms[norms == 0.0] = 1.0
+    return M / norms
+
 # --- xxHash64 (Spark-compatible) ---------------------------------------------
 # Pure-Python implementation of the public xxHash64 algorithm (Yann Collet,
 # BSD) for 8-byte inputs, matching Spark's `xxhash64` SQL function over
@@ -501,8 +509,8 @@ def local_ivf_pairs(vec_rows, cos_min: float, bucket_cap: int,
     cent = [i for i, vid in enumerate(ids) if vid % centroid_mod == 0]
     cent.sort(key=lambda i: ids[i])
     C = M[cent]
-    Cn = C / np.linalg.norm(C, axis=1, keepdims=True)
-    Mn = M / np.linalg.norm(M, axis=1, keepdims=True)
+    Cn = _unit_rows(C)
+    Mn = _unit_rows(M)
     sims = Mn @ Cn.T
     top = np.argsort(-sims, axis=1, kind="stable")[:, :nprobe]
     member_rows = []
@@ -549,10 +557,8 @@ def local_ivf_trained_pairs(vec_rows, cos_min: float, bucket_cap: int,
                                   ids[i]))
     sample = M[order[:IVF_TRAIN_SAMPLE]]
     C = train_kmeans(sample, ivf_k_for(len(ids)))
-    Cn = C / np.linalg.norm(C, axis=1, keepdims=True)
-    mn = np.linalg.norm(M, axis=1, keepdims=True)
-    mn[mn == 0.0] = 1.0            # mirror the engine's zero-norm guard
-    Mn = M / mn
+    Cn = _unit_rows(C)
+    Mn = _unit_rows(M)
     sims = Mn @ Cn.T
     top = np.argsort(-sims, axis=1, kind="stable")[:, :nprobe]
     member_rows = []
@@ -634,8 +640,8 @@ def local_semantic_dedup(vec_rows, t: float, cell_cap: int,
     cent = [i for i, vid in enumerate(ids) if vid % centroid_mod == 0]
     cent.sort(key=lambda i: ids[i])
     C = M[cent]
-    Cn = C / np.linalg.norm(C, axis=1, keepdims=True)
-    Mn = M / np.linalg.norm(M, axis=1, keepdims=True)
+    Cn = _unit_rows(C)
+    Mn = _unit_rows(M)
     cell_of = np.argmax(Mn @ Cn.T, axis=1)
 
     by_cell: dict[int, list[int]] = defaultdict(list)
@@ -646,7 +652,7 @@ def local_semantic_dedup(vec_rows, t: float, cell_cap: int,
         idxs = sorted(idxs, key=lambda i: ids[i])
         head = idxs[:cell_cap]
         Mc = np.stack([vecs[i] for i in head])
-        Mcn = Mc / np.linalg.norm(Mc, axis=1, keepdims=True)
+        Mcn = _unit_rows(Mc)
         kept: list[int] = []
         for pos, i in enumerate(idxs):
             if pos >= cell_cap:

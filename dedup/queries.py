@@ -39,6 +39,15 @@ def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
 import contextlib
 
 
+def _unit_rows(M: np.ndarray) -> np.ndarray:
+    """Row-normalize; zero-norm rows divide by 1.0 (all-zero unit row,
+    deterministic argmax) instead of NaN-poisoning the whole Arrow batch's
+    cell assignments (same guard as dedup.ann_index.train_kmeans)."""
+    norms = np.linalg.norm(M, axis=1, keepdims=True)
+    norms[norms == 0.0] = 1.0
+    return M / norms
+
+
 # Streaming/pipeline driver queries run at a corpus SUBSET (doc_id below
 # this bound, mirrors included) — they exercise checkpointed state
 # machinery whose cost is dominated by per-micro-batch overhead, not data
@@ -553,7 +562,7 @@ def q_embedding_knn(spark, sf_dir):
                  "cast(0.0 as double), (acc, x) -> acc + x)")
     norm = ("sqrt(aggregate(transform({0}, x -> x * x), cast(0.0 as double), "
             "(acc, x) -> acc + x))")
-    cos = dot / (F.expr(norm.format("qv")) * F.expr(norm.format("v")))
+    cos = F.try_divide(dot, F.expr(norm.format("qv")) * F.expr(norm.format("v")))
     scored = (q.crossJoin(e).where(F.col("qid") != F.col("vec_id"))
               .select("qid", "vec_id", cos.alias("cos")))
     w = Window.partitionBy("qid").orderBy(F.desc("cos"), F.asc("vec_id"))
@@ -628,7 +637,7 @@ def ann_lsh_pairs(e: DataFrame, cos_min: float = ANN_COS_MIN,
                  "cast(0.0 as double), (acc, x) -> acc + x)")
     norm = ("sqrt(aggregate(transform({0}, x -> x * x), cast(0.0 as double), "
             "(acc, x) -> acc + x))")
-    cos = dot / (F.expr(norm.format("va")) * F.expr(norm.format("vb")))
+    cos = F.try_divide(dot, F.expr(norm.format("va")) * F.expr(norm.format("vb")))
     return (pairs.join(va, "a").join(vb, "b")
             .select("a", "b", F.round(cos, 6).alias("cos_sim"))
             .where(f"cos_sim > {cos_min}")
@@ -927,14 +936,13 @@ def q_embedding_knn_ivf(spark, sf_dir):
     cent_rows = (e.where(F.col("vec_id") % mod == 0)
                  .orderBy("vec_id").collect())
     C = np.stack([np.asarray(r["v"]) for r in cent_rows])  # (k<=4096, dim)
-    Cn_bc = spark.sparkContext.broadcast(
-        C / np.linalg.norm(C, axis=1, keepdims=True))
+    Cn_bc = spark.sparkContext.broadcast(_unit_rows(C))
     nprobe = 2
 
     @F.pandas_udf("array<int>")
     def cells_udf(vs: pd.Series) -> pd.Series:
         M = np.stack(vs.to_numpy()).astype(np.float64, copy=False)
-        Mn = M / np.linalg.norm(M, axis=1, keepdims=True)
+        Mn = _unit_rows(M)
         sims = Mn @ Cn_bc.value.T
         top = np.argsort(-sims, axis=1, kind="stable")[:, :nprobe]
         return pd.Series(list(top.astype(np.int32)))
@@ -953,7 +961,7 @@ def q_embedding_knn_ivf(spark, sf_dir):
                  "cast(0.0 as double), (acc, x) -> acc + x)")
     norm = ("sqrt(aggregate(transform({0}, x -> x * x), cast(0.0 as double), "
             "(acc, x) -> acc + x))")
-    cos = dot / (F.expr(norm.format("va")) * F.expr(norm.format("vb")))
+    cos = F.try_divide(dot, F.expr(norm.format("va")) * F.expr(norm.format("vb")))
     return (pairs.join(va, "a").join(vb, "b")
             .select("a", "b", F.round(cos, 6).alias("cos_sim"))
             .where(f"cos_sim > {ANN_COS_MIN}")
@@ -1362,13 +1370,12 @@ def q_semantic_dedup(spark, sf_dir):
     cent_rows = (e.where(F.col("vec_id") % mod == 0)
                  .orderBy("vec_id").collect())
     C = np.stack([np.asarray(r["v"]) for r in cent_rows])
-    Cn_bc = spark.sparkContext.broadcast(
-        C / np.linalg.norm(C, axis=1, keepdims=True))
+    Cn_bc = spark.sparkContext.broadcast(_unit_rows(C))
 
     @F.pandas_udf("int")
     def cell_udf(vs: pd.Series) -> pd.Series:
         M = np.stack(vs.to_numpy()).astype(np.float64, copy=False)
-        Mn = M / np.linalg.norm(M, axis=1, keepdims=True)
+        Mn = _unit_rows(M)
         sims = Mn @ Cn_bc.value.T
         return pd.Series(np.argmax(sims, axis=1).astype(np.int32))
 
@@ -1376,7 +1383,7 @@ def q_semantic_dedup(spark, sf_dir):
         pdf = pdf.sort_values("vec_id").reset_index(drop=True)
         head = pdf.iloc[:SEM_CELL_CAP]
         M = np.stack(head["v"].to_numpy()).astype(np.float64, copy=False)
-        Mn = M / np.linalg.norm(M, axis=1, keepdims=True)
+        Mn = _unit_rows(M)
         kept_idx: list[int] = []
         rep = np.full(len(pdf), -1, dtype=np.int64)
         keep = np.ones(len(pdf), dtype=bool)
