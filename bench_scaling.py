@@ -125,13 +125,18 @@ def main() -> None:
     # best-of-k per level: this VM suffers bursty hypervisor CPU steal
     # (cumulative steal in /proc/stat runs in the thousands of seconds);
     # the max observed throughput approximates the uncontended machine.
+    import statistics
     for cores in LEVELS:
-        best = None
+        trials = []
         for _ in range(TRIALS):
             r = run_at(cores)
             print(json.dumps(r))
-            if best is None or r["docs_per_sec"] > best["docs_per_sec"]:
-                best = r
+            trials.append(r)
+        best = max(trials, key=lambda r: r["docs_per_sec"])
+        best["docs_per_sec_median"] = round(
+            statistics.median(r["docs_per_sec"] for r in trials), 2)
+        best["wall_sec_median"] = round(
+            statistics.median(r["wall_sec"] for r in trials), 2)
         results[cores] = best
     # determinism across parallelism: the SAME input must produce the SAME
     # cluster count at every core count — partition-count-invariance of the
@@ -147,15 +152,28 @@ def main() -> None:
             results[m]["docs_per_sec"] / (4 * results[n]["docs_per_sec"]), 3)
         for n, m in pairs
     }
+    # median-based efficiency beside best-of-k: with bursty hypervisor
+    # steal, best-of-k approximates the uncontended machine while the
+    # median shows the as-measured window — report both, compare medians
+    # round-over-round
+    effs_median = {
+        f"{n}_to_{m}": round(
+            results[m]["docs_per_sec_median"]
+            / (4 * results[n]["docs_per_sec_median"]), 3)
+        for n, m in pairs
+    }
     summary = {
         "metric": "scaling_efficiency",
         "value": effs.get("2_to_8"),
         "unit": "ratio",
         "n_docs": results[LEVELS[0]]["n_docs"],
         "levels": {str(c): {"wall_sec": r["wall_sec"],
-                            "docs_per_sec": r["docs_per_sec"]}
+                            "docs_per_sec": r["docs_per_sec"],
+                            "wall_sec_median": r["wall_sec_median"],
+                            "docs_per_sec_median": r["docs_per_sec_median"]}
                    for c, r in results.items()},
         "efficiencies": effs,
+        "efficiencies_median": effs_median,
         "dup_pair_recall": (max(r for r in recalls if r is not None)
                             if any(r is not None for r in recalls) else None),
         "n_clusters": next(iter(n_clusters)),
@@ -173,13 +191,31 @@ def _update_bench_md(s: dict) -> None:
     stamp = time.strftime("%Y-%m-%d %H:%M UTC", time.gmtime())
     lv = s["levels"]
     rows = "\n".join(
-        f"| local[{c}] | {lv[c]['wall_sec']} | {lv[c]['docs_per_sec']} |"
+        f"| local[{c}] | {lv[c]['wall_sec']} | {lv[c]['docs_per_sec']} "
+        f"| {lv[c].get('wall_sec_median', '—')} "
+        f"| {lv[c].get('docs_per_sec_median', '—')} |"
         for c in sorted(lv, key=int))
+    em = s.get("efficiencies_median", {})
     effs = "\n".join(
-        f"| {k.replace('_to_', ' -> ')} cores | **{v}** |"
+        f"| {k.replace('_to_', ' -> ')} cores | **{v}** | {em.get(k, '—')} |"
         for k, v in s["efficiencies"].items())
     eff_cores = s.get("effective_cores_of_32")
     steal_s = s.get("steal_sec_during_12s_probe")
+    # current run as the last history row; banked rows are promoted into
+    # the static table above by hand (the md is regenerated wholesale, so
+    # only rows mirrored into this script survive the next run)
+    lo_c = min(lv, key=int)
+    hi_c = str(4 * int(lo_c)) if str(4 * int(lo_c)) in lv else None
+    cur_hist = ""
+    if hi_c:
+        cur_hist = (
+            f"| {s['n_docs'] // 1000}k docs, x{TOKEN_SCALE:g} tokens, "
+            f"{PARTITIONS} files | local[{lo_c}] "
+            f"{lv[lo_c]['docs_per_sec']:.0f} d/s | local[{hi_c}] "
+            f"{lv[hi_c]['docs_per_sec']:.0f} d/s "
+            f"| {s['efficiencies'].get(f'{lo_c}_to_{hi_c}', '—')} "
+            f"| {s.get('efficiencies_median', {}).get(f'{lo_c}_to_{hi_c}', '—')} "
+            f"| this run ({stamp}; steal probe {steal_s} s/12 s) |")
     block = f"""# BENCH — measured engine numbers
 
 ## Scaling evidence (north rule: throughput scaling efficiency >= 0.8, N -> 4N)
@@ -190,12 +226,12 @@ candidate pairs -> verify -> connected components), same input
 families + 5% hot-band boilerplate), fresh JVM per run, best of
 {TRIALS} trials per level, measured {stamp} via `python bench_scaling.py`:
 
-| cores (executor threads) | wall (s) | docs/sec |
-|---|---|---|
+| cores (executor threads) | wall (s, best) | docs/sec (best) | wall (s, median) | docs/sec (median) |
+|---|---|---|---|---|
 {rows}
 
-| N -> 4N pair | efficiency = tput(4N) / (4 x tput(N)) |
-|---|---|
+| N -> 4N pair | efficiency (best-of-{TRIALS}) | efficiency (median) |
+|---|---|---|
 {effs}
 
 Dup-pair recall vs planted ground truth at this scale:
@@ -224,17 +260,18 @@ emission on hot buckets.
 
 ## Measurement history (same pipeline)
 
-| config | N | 4N | eff | note |
-|---|---|---|---|---|
-| 60k docs, x4 tokens | local[2] 416 d/s | local[8] 1205 d/s | 0.72 | round 1, pre single-pass fusion |
-| 100k docs, x4 tokens | local[2] 431 d/s | local[8] 1320 d/s | 0.77 | round 1, fused extract+sign |
-| 100k docs, x4 tokens | local[2] 413 d/s | local[8] 1346 d/s | 0.815 | round 1 final |
-| 100k docs, x8 tokens, 64 files | local[2] 291 d/s | local[8] 912 d/s | 0.78 | round 2, BLAS pinned, coarse splits |
-| 100k docs, x8 tokens, 512 files | local[2] 270 d/s | local[8] 885 d/s | **0.819** | round 2 final (fine-grained splits: >= 16 task waves/level; calmer guest: 5.3 s steal/12 s) |
-| 100k docs, x8 tokens, 512 files | local[2] 254 d/s | local[8] 788 d/s | 0.777 | round 3 (same-window pair; heavy-steal session: 2.7-39.5 s/12 s, 19-24 effective cores) |
-| 100k docs, x8 tokens, 512 files | local[2] 280 d/s | local[8] 857 d/s | 0.765 | round 4 first sweep (5.7-10.7 s steal/12 s, 6.5-6.8 effective of 8 at the 8-spinner level) |
-| 100k docs, x8 tokens, 512 files | local[2] 311 d/s | local[8] 1005 d/s | **0.806** | round 4 banked best (calm window: 0.08 s steal/12 s; chunked-MinHash optimization in) |
-| 100k docs, x8 tokens, 512 files | local[2] 328 d/s | local[8] 1003 d/s | 0.764 | round 4 third attempt (also calm): 2-core level gains more from calm windows than the ceiling-bound 8-core level |
+| config | N | 4N | eff (best) | eff (median) | note |
+|---|---|---|---|---|---|
+| 60k docs, x4 tokens | local[2] 416 d/s | local[8] 1205 d/s | 0.72 | — | round 1, pre single-pass fusion |
+| 100k docs, x4 tokens | local[2] 431 d/s | local[8] 1320 d/s | 0.77 | — | round 1, fused extract+sign |
+| 100k docs, x4 tokens | local[2] 413 d/s | local[8] 1346 d/s | 0.815 | — | round 1 final |
+| 100k docs, x8 tokens, 64 files | local[2] 291 d/s | local[8] 912 d/s | 0.78 | — | round 2, BLAS pinned, coarse splits |
+| 100k docs, x8 tokens, 512 files | local[2] 270 d/s | local[8] 885 d/s | **0.819** | — | round 2 final (fine-grained splits: >= 16 task waves/level; calmer guest: 5.3 s steal/12 s) |
+| 100k docs, x8 tokens, 512 files | local[2] 254 d/s | local[8] 788 d/s | 0.777 | — | round 3 (same-window pair; heavy-steal session: 2.7-39.5 s/12 s, 19-24 effective cores) |
+| 100k docs, x8 tokens, 512 files | local[2] 280 d/s | local[8] 857 d/s | 0.765 | — | round 4 first sweep (5.7-10.7 s steal/12 s, 6.5-6.8 effective of 8 at the 8-spinner level) |
+| 100k docs, x8 tokens, 512 files | local[2] 311 d/s | local[8] 1005 d/s | **0.806** | — | round 4 banked best (calm window: 0.08 s steal/12 s; chunked-MinHash optimization in) |
+| 100k docs, x8 tokens, 512 files | local[2] 328 d/s | local[8] 1003 d/s | 0.764 | — | round 4 third attempt (also calm): 2-core level gains more from calm windows than the ceiling-bound 8-core level |
+{cur_hist}
 
 ## Headline bench (driver contract)
 
