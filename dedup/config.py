@@ -112,6 +112,15 @@ def minhash_prefilter_min_equal(cfg: DedupConfig) -> int:
     return int(math.ceil(cut * cfg.num_hashes))
 
 
+# Signature ALGORITHM/layout version — bump whenever the signature or
+# band-key computation changes in a way config fields don't capture, so
+# persisted artifacts (signatures tables, key indexes, workdir lineage)
+# built by older code are REFUSED instead of silently probed with
+# mismatched band hashes. History:
+#   1: crc32 char shingles, array<bigint> shingle storage (rounds 1-3)
+#   2: rolling-fmix32 char shingles, array<int> bit-pattern storage
+SIGNATURE_VERSION = 2
+
 # config fields the blocking-key space depends on: a key index built under
 # one value set is valid for ANY threshold/scoring, but not across these
 KEY_CONFIG_FIELDS = ("num_hashes", "seed", "shingle_size", "char_shingles",
@@ -120,9 +129,19 @@ KEY_CONFIG_FIELDS = ("num_hashes", "seed", "shingle_size", "char_shingles",
 
 def key_config(cfg_or_dict) -> dict:
     """The blocking-key-relevant slice of a config (dataclass or the dict a
-    lineage manifest recorded)."""
-    d = cfg_or_dict if isinstance(cfg_or_dict, dict) else asdict(cfg_or_dict)
-    return {f: d.get(f) for f in KEY_CONFIG_FIELDS}
+    lineage manifest recorded), plus the signature-algorithm version: a
+    live config carries the CURRENT code's version, a recorded dict carries
+    whatever was persisted (default 1 — manifests written before the token
+    existed are pre-rolling-hash and must mismatch)."""
+    if isinstance(cfg_or_dict, dict):
+        d = dict(cfg_or_dict)
+        ver = d.get("sig_version", 1)
+    else:
+        d = asdict(cfg_or_dict)
+        ver = SIGNATURE_VERSION
+    out = {f: d.get(f) for f in KEY_CONFIG_FIELDS}
+    out["sig_version"] = ver
+    return out
 
 
 def get_effective_max_candidates(requested: int | None,

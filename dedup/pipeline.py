@@ -82,16 +82,25 @@ class DedupPipeline:
             man = json.loads(mp.read_text())
         except json.JSONDecodeError:
             return False
+        from dedup.config import SIGNATURE_VERSION
+        # a manifest without the version token predates the rolling-hash /
+        # int32-shingle signature layout (sig_version 1): its persisted
+        # stage tables carry band hashes this code cannot probe — recompute
         return (man.get("job_key") == self.job_key
                 and man.get("status") == "complete"
+                and (man.get("config") or {}).get("sig_version", 1)
+                == SIGNATURE_VERSION
                 and self.storage.table_complete(self._stage_ref(stage)))
 
     def _write_manifest(self, stage: str, rows: int, wall_ms: float,
                         n_partitions: int) -> None:
         from dataclasses import asdict
+
+        from dedup.config import SIGNATURE_VERSION
         self._manifest_path(stage).write_text(json.dumps({
             "job_key": self.job_key,
-            "config": asdict(self.cfg),
+            "config": {**asdict(self.cfg),
+                       "sig_version": SIGNATURE_VERSION},
             "stage": stage,
             "status": "complete",
             "rows": rows,

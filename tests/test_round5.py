@@ -69,3 +69,55 @@ def test_semantic_dedup_survives_zero_vectors(spark, zero_vec_sf_dir):
     zero_rows = [r for r in got if r[0] in (n, n + 1)]
     assert len(zero_rows) == 2
     assert all(keep for _, _, keep, _ in zero_rows)
+
+
+# --- signature-version lineage token (round-5 ADVICE, medium) ---------------
+
+
+def test_key_config_carries_signature_version():
+    """A live config stamps the CURRENT version; a recorded manifest dict
+    without the token reads as version 1 (pre-rolling-hash) and must
+    mismatch, so old persisted key indexes / signatures are refused
+    instead of silently probing wrong band buckets."""
+    from dataclasses import asdict
+
+    from dedup.config import (PARITY_CONFIG, SIGNATURE_VERSION, key_config)
+
+    live = key_config(PARITY_CONFIG)
+    assert live["sig_version"] == SIGNATURE_VERSION
+    legacy = asdict(PARITY_CONFIG)  # what pre-token manifests recorded
+    assert key_config(legacy) != live
+    current = {**asdict(PARITY_CONFIG), "sig_version": SIGNATURE_VERSION}
+    assert key_config(current) == live
+
+
+def test_pre_version_manifest_forces_recompute(spark, tmp_path):
+    """A workdir whose lineage manifests lack the sig_version token (built
+    by pre-round-4 code whose band hashes this code cannot probe) must
+    recompute every stage on resume, not skip off the stale tables."""
+    import json as _json
+
+    from dedup.config import PARITY_CONFIG
+    from dedup.pipeline import DedupPipeline
+    from dedup.synth import corpus_pdf
+
+    corpus = spark.createDataFrame(
+        corpus_pdf(60, seed=21)[["url", "warc_ts", "html", "text", "lang"]])
+    wd = str(tmp_path / "job")
+    p = DedupPipeline(spark, wd, PARITY_CONFIG)
+    p.run(corpus)
+
+    # same workdir, version token intact -> all stages skip
+    p2 = DedupPipeline(spark, wd, PARITY_CONFIG)
+    p2.run(corpus)
+    assert all(s.skipped for s in p2.stage_infos)
+
+    # strip the token from every manifest (what old code wrote)
+    for mp in (tmp_path / "job" / "_lineage").glob("*.json"):
+        man = _json.loads(mp.read_text())
+        if isinstance(man.get("config"), dict):
+            man["config"].pop("sig_version", None)
+            mp.write_text(_json.dumps(man))
+    p3 = DedupPipeline(spark, wd, PARITY_CONFIG)
+    p3.run(corpus)
+    assert all(not s.skipped for s in p3.stage_infos)
