@@ -310,10 +310,24 @@ def dedupe_metadata(signatures: DataFrame, source: SourceMetadata,
                                      count=len(sh_set)))
 
         @F.pandas_udf(DoubleType())
-        def jac_udf(shingle_arrays: pd.Series) -> pd.Series:
+        def jac_udf(shingle_arrays: pd.Series,
+                    minhashes: pd.Series) -> pd.Series:
             out = []
-            for sh in shingle_arrays:
-                if sh is None or src_sh.size == 0:
+            for sh, mh in zip(shingle_arrays, minhashes):
+                if sh is None:
+                    if mh is not None:
+                        # signed row without shingles = mixed signatures
+                        # table (ADVICE: the guard's single-row probe can
+                        # miss these) — fail loudly, a silent None here
+                        # masquerades as 'no duplicates'
+                        raise ValueError(
+                            "scoring='jaccard' hit a signed candidate "
+                            "with NULL shingles — the signatures table "
+                            "mixes keep_shingles=False rows; rebuild it "
+                            "under one engine config")
+                    out.append(None)
+                    continue
+                if src_sh.size == 0:
                     out.append(None)
                     continue
                 # stored shingles are int32 bit patterns of uint32 hashes
@@ -325,8 +339,24 @@ def dedupe_metadata(signatures: DataFrame, source: SourceMetadata,
                 out.append(inter / union if union else 0.0)
             return pd.Series(out, dtype="float64")
 
-        joined = cands.join(signatures.select("url", "shingles"), "url")
-        score_expr = jac_udf("shingles")
+        joined = cands.join(
+            signatures.select("url", "shingles", "minhash"), "url")
+        if src_sig is not None:
+            # MinHash-estimate prefilter against the broadcast source
+            # signature — the same native equal-component cut verify_pairs
+            # applies BEFORE the shingle join, so the two per-document CLI
+            # modes share one keep machinery and by-metadata stops paying
+            # the full shingle-join cost the prefilter was built to avoid.
+            # Rank-0 (url_exact) candidates bypass scoring and the cut.
+            from dedup.config import minhash_prefilter_min_equal
+            src_arr = F.array(*[F.lit(float(x)) for x in src_sig])
+            est = F.size(F.filter(
+                F.zip_with(F.col("minhash"), src_arr,
+                           lambda x, y: x == y), lambda v: v))
+            joined = joined.where(
+                (F.col("_rank") == 0)
+                | (est >= F.lit(minhash_prefilter_min_equal(cfg))))
+        score_expr = jac_udf("shingles", "minhash")
     else:
         joined = cands.join(signatures.select("url", "minhash"), "url")
         score_expr = cos_udf("minhash")

@@ -189,6 +189,24 @@ def run_stream_candidate_pairs(spark, source_dir: str, checkpoint_dir: str,
             .start())
 
 
+def latest_signatures(spark, sig_dir: str) -> DataFrame:
+    """ONE signature row per url from an append-accumulated ingest table,
+    with a DETERMINISTIC winner: a url re-delivered in a later drop
+    (re-crawl, duplicate file) keeps the row from the freshest micro-batch
+    (ingest_batch stamp), tie-broken by simhash within a batch — so a
+    changed re-crawl pins the new content every run instead of
+    dropDuplicates picking an arbitrary row. Tables written before the
+    ingest_batch stamp existed fall back to the old arbitrary-row dedup."""
+    df = spark.read.parquet(sig_dir)
+    if "ingest_batch" not in df.columns:
+        return df.dropDuplicates(["url"])
+    from pyspark.sql import Window
+    w = (Window.partitionBy("url")
+         .orderBy(F.desc("ingest_batch"), F.desc_nulls_last("simhash")))
+    return (df.withColumn("_rn", F.row_number().over(w))
+            .where("_rn = 1").drop("_rn", "ingest_batch"))
+
+
 def ingest_drop(spark, source_dir: str, workdir: str, cfg: DedupConfig,
                 state_ttl_ms: int | None = None,
                 schema: str = ("url string, warc_ts timestamp, "
@@ -227,25 +245,30 @@ def ingest_drop(spark, source_dir: str, workdir: str, cfg: DedupConfig,
     # null-url rows are state-compaction tombstone files read under the
     # corpus schema (evict_expired_pair_state) — inert, keep them out of
     # the signatures table
+    def append_sigs(batch_df, batch_id):
+        # stamp the micro-batch id so a url re-delivered in a LATER drop
+        # has a deterministic winner (freshest delivery) instead of
+        # dropDuplicates picking an arbitrary row when a re-crawl changed
+        # the text
+        (batch_df.withColumn("ingest_batch", F.lit(int(batch_id)))
+         .write.mode("append").parquet(sig_dir))
+
     q1 = (stream_signatures(
         spark.readStream.schema(schema).parquet(source_dir)
         .where(F.col("url").isNotNull())
         .select("url", "text"), cfg)
-        .writeStream.format("parquet")
-        .option("path", sig_dir)
+        .writeStream.foreachBatch(append_sigs)
         .option("checkpointLocation", f"{workdir}/ckpt_sigs")
         .outputMode("append").trigger(availableNow=True).start())
     q1.awaitTermination()
 
     assign_dir = f"{workdir}/assignments"
 
+    def latest_sigs():
+        return latest_signatures(spark, sig_dir)
+
     def fold(batch_df, batch_id):
-        # a url re-delivered in a later drop (re-crawl, duplicate file)
-        # appends a second signature row; reading the accumulated table
-        # deduped by url keeps the verify join 1:1 and the assignments
-        # table bounded over long-lived ingest dirs (re-delivery is
-        # assumed content-identical — the signature rows then coincide)
-        sigs = spark.read.parquet(sig_dir).dropDuplicates(["url"])
+        sigs = latest_sigs()
         verified = (verify_pairs(batch_df, sigs, cfg)
                     .where("keep").select("a", "b"))
         if Path(assign_dir).exists():
@@ -271,7 +294,7 @@ def ingest_drop(spark, source_dir: str, workdir: str, cfg: DedupConfig,
 
     # a drop whose documents hit no blocking bucket emits no micro-batch
     # at all — enter those documents as singletons
-    sigs = spark.read.parquet(sig_dir).dropDuplicates(["url"])
+    sigs = latest_sigs()
     if Path(assign_dir).exists():
         assignments = spark.read.parquet(assign_dir)
         missing = (sigs.select("url")

@@ -202,6 +202,20 @@ def verify_pairs(pairs: DataFrame, signatures: DataFrame,
         for pdf in batches:
             if len(pdf) == 0:
                 continue
+            # every row here carries a non-null minhash (the signature
+            # join filters unsigned docs), so a null shingle array means a
+            # MIXED signatures table (parity-slim rows appended into an
+            # engine workdir, or a pre-keep_shingles resume) — fail loudly
+            # instead of silently scoring 0.0/keep=false
+            for col in ("_sh_a", "_sh_b"):
+                if pdf[col].isna().any():
+                    bad = pdf.loc[pdf[col].isna(),
+                                  "a" if col == "_sh_a" else "b"].iloc[0]
+                    raise ValueError(
+                        "scoring='jaccard' hit a signed row with NULL "
+                        f"shingles (url={bad!r}): the signatures table "
+                        "mixes keep_shingles=False rows — rebuild it "
+                        "under one engine config")
             sims = batch_cosines(pdf["_sig_a"], pdf["_sig_b"])
             jacs = batch_jaccards(pdf["_sh_a"], pdf["_sh_b"])
             yield pd.DataFrame({

@@ -91,6 +91,52 @@ def test_key_config_carries_signature_version():
     assert key_config(current) == live
 
 
+def test_redelivered_url_with_changed_text_keeps_freshest(spark, tmp_path):
+    """ADVICE r4: a re-crawl whose text CHANGED must deterministically pin
+    the newest delivery's signature, not an arbitrary row per run."""
+    import glob
+    import shutil
+
+    from dedup.config import PARITY_CONFIG
+    from dedup.signature import signatures_table
+    from dedup.streaming import ingest_drop, latest_signatures
+
+    text_a = "alpha " * 40
+    text_b = "bravo " * 40
+    drops = [
+        [("https://x.example/recrawl", text_a),
+         ("https://x.example/other1", "gamma " * 40)],
+        [("https://x.example/recrawl", text_b),
+         ("https://x.example/other2", "delta " * 40)],
+    ]
+    src = tmp_path / "src"
+    src.mkdir()
+    wd = str(tmp_path / "wd")
+    for i, rows in enumerate(drops):
+        tmp = str(tmp_path / f"tmp{i}")
+        spark.createDataFrame(rows, "url string, text string") \
+            .coalesce(1).write.parquet(tmp)
+        shutil.copy(glob.glob(f"{tmp}/part-*.parquet")[0],
+                    str(src / f"drop{i}.parquet"))
+        ingest_drop(spark, str(src), wd, PARITY_CONFIG,
+                    schema="url string, text string")
+
+    raw = spark.read.parquet(f"{wd}/signatures")
+    recrawl_rows = raw.where("url = 'https://x.example/recrawl'").collect()
+    assert len(recrawl_rows) == 2  # both deliveries appended
+    assert "ingest_batch" in raw.columns
+
+    kept = latest_signatures(spark, f"{wd}/signatures") \
+        .where("url = 'https://x.example/recrawl'").collect()
+    assert len(kept) == 1
+    expect = signatures_table(
+        spark.createDataFrame([("https://x.example/recrawl", text_b)],
+                              "url string, text string"),
+        PARITY_CONFIG).first()
+    assert list(kept[0]["minhash"]) == list(expect["minhash"])
+    assert kept[0]["simhash"] == expect["simhash"]
+
+
 def test_pre_version_manifest_forces_recompute(spark, tmp_path):
     """A workdir whose lineage manifests lack the sig_version token (built
     by pre-round-4 code whose band hashes this code cannot probe) must
