@@ -177,7 +177,8 @@ def connected_components(edges: DataFrame, max_iterations: int = 30,
 
 
 def merge_assignments(assignments: DataFrame, new_edges: DataFrame,
-                      max_iterations: int = 30) -> DataFrame:
+                      max_iterations: int = 30,
+                      broadcast_threshold: int = 200_000) -> DataFrame:
     """Incremental clustering: union new duplicate edges (e.g. from the
     streaming candidate operator) into an existing (url, cluster_id)
     assignment WITHOUT recomputing connected components over the whole
@@ -193,24 +194,32 @@ def merge_assignments(assignments: DataFrame, new_edges: DataFrame,
     its members, exactly what a full recompute yields.
 
     Scale shape: a crawl drop touches a sliver of the corpus, so
-    touched_clusters is broadcast against the big assignment table; the
-    full assignment is scanned once for the member pull and once for the
-    anti-join pass-through — no full-graph CC rounds.
+    touched_clusters is usually broadcast against the big assignment
+    table; the full assignment is scanned once for the member pull and
+    once for the anti-join pass-through — no full-graph CC rounds. The
+    broadcast is SIZE-GATED (same discipline as connected_components'
+    driver gate): a pathological drop touching more than
+    `broadcast_threshold` clusters falls back to shuffle joins instead of
+    blowing the driver/executor broadcast memory. The probe is a single
+    bounded scan (limit(threshold+1).count()).
     """
     touched_urls = (new_edges.select(F.col("a").alias("url"))
                     .unionByName(new_edges.select(F.col("b").alias("url")))
                     .distinct())
     touched_clusters = (assignments.join(touched_urls, "url")
-                        .select("cluster_id").distinct())
-    affected = assignments.join(F.broadcast(touched_clusters), "cluster_id")
+                        .select("cluster_id").distinct()
+                        .localCheckpoint())  # computed once, reused 3x
+    small = (touched_clusters.limit(broadcast_threshold + 1).count()
+             <= broadcast_threshold)
+    tc = F.broadcast(touched_clusters) if small else touched_clusters
+    affected = assignments.join(tc, "cluster_id")
     star = (affected.where(F.col("url") != F.col("cluster_id"))
             .select(F.col("cluster_id").alias("a"), F.col("url").alias("b")))
     sub_urls = (affected.select("url").unionByName(touched_urls).distinct())
     merged = assign_clusters(sub_urls,
                              new_edges.select("a", "b").unionByName(star),
                              max_iterations)
-    untouched = assignments.join(F.broadcast(touched_clusters),
-                                 "cluster_id", "left_anti")
+    untouched = assignments.join(tc, "cluster_id", "left_anti")
     return untouched.select("url", "cluster_id").unionByName(merged)
 
 

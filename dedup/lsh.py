@@ -139,6 +139,19 @@ def pairs_within_groups(members: DataFrame, key_cols: list[str],
 GROUP_KEY_COLS = ["gk_band", "gk_url", "gk_txt"]
 
 
+def capped_bucket_count(signatures: DataFrame, cfg: DedupConfig) -> int:
+    """Number of blocking buckets above cfg.band_bucket_cap — these emitted
+    star edges instead of all pairs in pairs_within_groups. The 'no silent
+    caps' observability counter: the pipeline records it on the
+    pairs-stage metrics rows so an operator can see when the cap engaged.
+    Cost: one map-side-combined (key, count) aggregation; no member
+    strings ride the shuffle."""
+    keys = unified_group_keys(signatures, cfg)
+    return (keys.groupBy(*GROUP_KEY_COLS)
+            .agg(F.count(F.lit(1)).alias("n"))
+            .where(F.col("n") > cfg.band_bucket_cap).count())
+
+
 def key_rank_col():
     """Provenance rank of one unified-key row: 0 url exact (short-circuit),
     1 minhash band, 2 title key, 3 description-prefix key."""

@@ -110,14 +110,19 @@ class DedupPipeline:
         }, indent=2))
 
     def _record_metrics(self, stage: str, df: DataFrame, wall_ms: float,
-                        task_totals: dict | None) -> tuple[int, int]:
+                        task_totals: dict | None,
+                        n_capped_buckets: int | None = None
+                        ) -> tuple[int, int]:
         """Per-partition lineage rows -> metrics table; returns (rows, parts).
 
         One scan: the per-partition counts are collected (tiny — one row per
         partition) and the metrics parquet + totals come from that list, not
         from re-scanning the stage output. Task-level telemetry (executor
         run time, shuffle read/write bytes from the monitoring REST API —
-        M12) rides along on every row when available, null otherwise."""
+        M12) rides along on every row when available, null otherwise.
+        `n_capped_buckets` (pairs stage only) records how many blocking
+        buckets exceeded band_bucket_cap and emitted star edges — the 'no
+        silent caps' counter; null on stages without a cap."""
         counts = (
             df.groupBy(F.spark_partition_id().alias("partition_id"))
             .agg(F.count(F.lit(1)).alias("rows"))
@@ -130,17 +135,19 @@ class DedupPipeline:
                      tt.get("num_tasks"))
         metrics = self.spark.createDataFrame(
             [(int(r["partition_id"]), int(r["rows"]), stage, self.job_key,
-              float(wall_ms), *telemetry) for r in counts] or
-            [(0, 0, stage, self.job_key, float(wall_ms), *telemetry)],
+              float(wall_ms), *telemetry, n_capped_buckets)
+             for r in counts] or
+            [(0, 0, stage, self.job_key, float(wall_ms), *telemetry,
+              n_capped_buckets)],
             "partition_id int, rows long, stage string, job_key string, "
             "wall_ms double, executor_run_time_ms long, "
             "shuffle_read_bytes long, shuffle_write_bytes long, "
-            "num_tasks long")
+            "num_tasks long, n_capped_buckets long")
         self.storage.write_table(metrics.coalesce(1),
                                  self._stage_ref("metrics"), mode="append")
         return rows, max(1, len(counts))
 
-    def _run_stage(self, stage: str, build) -> DataFrame:
+    def _run_stage(self, stage: str, build, capped_fn=None) -> DataFrame:
         from dedup.metrics import rest_stage_metrics, stage_ids, task_totals
 
         ref = self._stage_ref(stage)
@@ -154,7 +161,9 @@ class DedupPipeline:
         wall_ms = (time.monotonic() - t0) * 1000
         totals = task_totals(rest_stage_metrics(self.spark), before)
         df = self.storage.read_table(ref)
-        rows, parts = self._record_metrics(stage, df, wall_ms, totals)
+        capped = capped_fn() if capped_fn is not None else None
+        rows, parts = self._record_metrics(stage, df, wall_ms, totals,
+                                           n_capped_buckets=capped)
         self._write_manifest(stage, rows, wall_ms, parts)
         self.stage_infos.append(StageInfo(stage, False, rows, wall_ms))
         return df
@@ -203,11 +212,13 @@ class DedupPipeline:
                 .repartitionByRange(self.cfg.shuffle_partitions,
                                     "gk_band", "gk_url", "gk_txt")
                 .sortWithinPartitions("gk_band", "gk_url", "gk_txt"))
+        from dedup.lsh import capped_bucket_count
         pairs = self._run_stage(
             "pairs",
             lambda: candidate_pairs(
                 signatures, self.cfg,
                 use_simhash_prefilter=(self.cfg.scoring == "jaccard")),
+            capped_fn=lambda: capped_bucket_count(signatures, self.cfg),
         )
         verified = self._run_stage(
             "verified", lambda: verify_pairs(pairs, signatures, self.cfg))

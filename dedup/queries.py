@@ -1366,11 +1366,24 @@ def q_semantic_dedup(spark, sf_dir):
     e = base.unionByName(
         base.where("vec_id < 50")
         .select((F.col("vec_id") + 100000).alias("vec_id"), "v"))
+    df, _acc = semantic_dedup_frame(spark, e, SEM_DEDUP_T, SEM_CELL_CAP)
+    return df
+
+
+def semantic_dedup_frame(spark, e: DataFrame, t: float, cell_cap: int):
+    """SemDeDup over (vec_id, v) rows; returns (result_df, capped_acc).
+
+    `capped_acc` is a Spark accumulator counting cells whose membership
+    exceeded `cell_cap` (their tail rows pass through keep=true/rep=-1) —
+    the 'no silent caps' observability counter. It is populated once the
+    result materializes; callers that persist results should log/record
+    `capped_acc.value` beside them."""
     mod = ivf_centroid_mod(e.count())
     cent_rows = (e.where(F.col("vec_id") % mod == 0)
                  .orderBy("vec_id").collect())
     C = np.stack([np.asarray(r["v"]) for r in cent_rows])
     Cn_bc = spark.sparkContext.broadcast(_unit_rows(C))
+    capped_acc = spark.sparkContext.accumulator(0)
 
     @F.pandas_udf("int")
     def cell_udf(vs: pd.Series) -> pd.Series:
@@ -1380,8 +1393,10 @@ def q_semantic_dedup(spark, sf_dir):
         return pd.Series(np.argmax(sims, axis=1).astype(np.int32))
 
     def sweep(pdf: pd.DataFrame) -> pd.DataFrame:
+        if len(pdf) > cell_cap:
+            capped_acc.add(1)
         pdf = pdf.sort_values("vec_id").reset_index(drop=True)
-        head = pdf.iloc[:SEM_CELL_CAP]
+        head = pdf.iloc[:cell_cap]
         M = np.stack(head["v"].to_numpy()).astype(np.float64, copy=False)
         Mn = _unit_rows(M)
         kept_idx: list[int] = []
@@ -1391,7 +1406,7 @@ def q_semantic_dedup(spark, sf_dir):
             if kept_idx:
                 sims = np.round(Mn[kept_idx] @ Mn[i], 6)
                 j = int(np.argmax(sims))
-                if sims[j] >= SEM_DEDUP_T:
+                if sims[j] >= t:
                     keep[i] = False
                     rep[i] = head["vec_id"].iloc[kept_idx[j]]
                     continue
@@ -1402,10 +1417,11 @@ def q_semantic_dedup(spark, sf_dir):
                              "rep_id": rep})
 
     cells = e.withColumn("cell", cell_udf("v"))
-    return (cells.groupBy("cell")
-            .applyInPandas(sweep, "vec_id bigint, cell int, keep boolean, "
-                                  "rep_id bigint")
-            .orderBy("vec_id"))
+    out = (cells.groupBy("cell")
+           .applyInPandas(sweep, "vec_id bigint, cell int, keep boolean, "
+                                 "rep_id bigint")
+           .orderBy("vec_id"))
+    return out, capped_acc
 
 
 # --- registry --------------------------------------------------------------------
