@@ -249,6 +249,53 @@ def q_repetition_filter(spark, sf_dir):
             .orderBy("doc_id"))
 
 
+LINE_TOKENS = 10  # fixed token window standing in for newline-split lines
+
+
+def q_line_dedup(spark, sf_dir):
+    """C4/RefinedWeb-style GLOBAL line-level dedup (training-pipeline
+    extra): segment every document into consecutive LINE_TOKENS-token
+    lines (the synthetic corpus has no newlines; the segmentation is the
+    deterministic stand-in), keep only each distinct line's FIRST global
+    occurrence ordered by (doc_id, line_no), and emit per document the
+    line count, how many of its lines were dropped as repeats of an
+    earlier line, and the md5 of the text reassembled from its kept lines.
+
+    Scale shape: first-occurrence is a groupBy(line_hash).min(struct(
+    doc_id, line_no)) — map-side combine absorbs boilerplate-hot lines
+    (millions of identical cookie banners partially aggregate per
+    partition), where a row_number() window would funnel every occurrence
+    of a hot line into one partition. The join-back on the 8-byte
+    xxhash64 line key is 1:N with a single build row per key, the shape
+    AQE skew-split handles. Oracle groups by the line string itself —
+    equal output absent 2^-64 hash collisions."""
+    lines = (_docs(spark, sf_dir)
+             .select("doc_id", F.expr(_TOKENS).alias("t"))
+             .select("doc_id", F.posexplode(F.expr(
+                 # empty docs emit no lines (sequence(0,-1) would DESCEND)
+                 f"CASE WHEN size(t) = 0 THEN array() ELSE "
+                 f"transform(sequence(0, CAST(ceil(size(t) / {LINE_TOKENS}.0)"
+                 f" AS INT) - 1), i -> concat_ws(' ', slice(t, "
+                 f"i * {LINE_TOKENS} + 1, {LINE_TOKENS}))) END")))
+             .withColumnsRenamed({"pos": "line_no", "col": "line"}))
+    keyed = lines.withColumn("_h", F.xxhash64("line"))
+    first = (keyed.groupBy("_h")
+             .agg(F.min(F.struct("doc_id", "line_no")).alias("_first")))
+    marked = (keyed.join(first, "_h")
+              .withColumn("_keep",
+                          (F.col("doc_id") == F.col("_first.doc_id"))
+                          & (F.col("line_no") == F.col("_first.line_no"))))
+    return (marked.groupBy("doc_id")
+            .agg(F.count(F.lit(1)).alias("n_lines"),
+                 F.sum(F.when(~F.col("_keep"), 1).otherwise(0))
+                 .cast("bigint").alias("n_dup_lines"),
+                 F.md5(F.concat_ws(" ", F.expr(
+                     "transform(array_sort(collect_list(CASE WHEN _keep "
+                     "THEN struct(line_no, line) END)), s -> s.line)")))
+                 .alias("clean_md5"))
+            .orderBy("doc_id"))
+
+
 _PII_EMAIL = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
 _PII_PHONE = "\\+?[0-9]{1,3}-[0-9]{3}-[0-9]{4}"
 
@@ -1445,6 +1492,7 @@ QUERIES = {
     "decontaminate": q_decontaminate,
     "repetition_filter": q_repetition_filter,
     "pii_redact": q_pii_redact,
+    "line_dedup": q_line_dedup,
     "lang_stopword_scores": q_lang_stopword_scores,
     "url_normalize": q_url_normalize,
     "url_normalize_youtube": q_url_normalize_youtube,
@@ -1813,6 +1861,24 @@ ORACLE_SQL = {
         "(2, 'signatures', false), (2, 'pairs', false), "
         "(2, 'verified', false), (2, 'clusters', false)) "
         "AS t(run_no, stage, skipped) ORDER BY run_no, stage"),
+    # C4-style global line dedup: first occurrence by (doc_id, line_no);
+    # the oracle groups by the line STRING (the engine groups by its
+    # xxhash64 — equal absent 2^-64 collisions)
+    "line_dedup": (
+        f"WITH t AS (SELECT doc_id, {_DUCK_TOKENS} AS tk FROM documents), "
+        "l AS (SELECT doc_id, i - 1 AS line_no, "
+        "array_to_string(tk[(i-1)*10+1 : i*10], ' ') AS line "
+        "FROM t, UNNEST(range(1, CAST(ceil(len(tk) / 10.0) AS INT) + 1)) "
+        "AS u(i)), "
+        "m AS (SELECT doc_id, line_no, line, "
+        "row_number() OVER (PARTITION BY line ORDER BY doc_id, line_no) = 1 "
+        "AS keep FROM l) "
+        "SELECT doc_id, count(*) AS n_lines, "
+        "CAST(sum(CASE WHEN keep THEN 0 ELSE 1 END) AS BIGINT) "
+        "AS n_dup_lines, "
+        "md5(coalesce(string_agg(CASE WHEN keep THEN line END, ' ' "
+        "ORDER BY line_no), '')) AS clean_md5 "
+        "FROM m GROUP BY doc_id ORDER BY doc_id"),
     # watermarked windowed agg (stream_windowed_counts): deterministic
     # two-drop scenario — only the 9:00 and 10:00 windows finalize; the
     # late 9:40 row and the open 12:00 window never appear
