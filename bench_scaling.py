@@ -271,6 +271,7 @@ emission on hot buckets.
 | 100k docs, x8 tokens, 512 files | local[2] 280 d/s | local[8] 857 d/s | 0.765 | — | round 4 first sweep (5.7-10.7 s steal/12 s, 6.5-6.8 effective of 8 at the 8-spinner level) |
 | 100k docs, x8 tokens, 512 files | local[2] 311 d/s | local[8] 1005 d/s | **0.806** | — | round 4 banked best (calm window: 0.08 s steal/12 s; chunked-MinHash optimization in) |
 | 100k docs, x8 tokens, 512 files | local[2] 328 d/s | local[8] 1003 d/s | 0.764 | — | round 4 third attempt (also calm): 2-core level gains more from calm windows than the ceiling-bound 8-core level |
+| 100k docs, x8 tokens, 512 files | local[2] 291 d/s | local[8] 793 d/s | 0.682 | 0.627 | round 5 first attempt (DIRTY window: 19.3 s steal/12 s probe, 18.5 effective cores of 32; all four trial walls 7-45% above the banked calm-window runs) |
 {cur_hist}
 
 ## Headline bench (driver contract)
