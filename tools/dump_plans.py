@@ -80,6 +80,9 @@ def main() -> None:
             QUERIES["semantic_dedup"](spark, sf),
         "quality_filter (pure CASE over integer counters — codegen)":
             QUERIES["quality_filter"](spark, sf),
+        "line_dedup (map-side-combined first-occurrence agg on 8-byte "
+        "line hashes — no per-line window)":
+            QUERIES["line_dedup"](spark, sf),
     }
     out = ["# Physical plans (captured by tools/dump_plans.py)", ""]
     for title, df in sections.items():
