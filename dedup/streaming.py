@@ -207,6 +207,61 @@ def latest_signatures(spark, sig_dir: str) -> DataFrame:
             .where("_rn = 1").drop("_rn", "ingest_batch"))
 
 
+_ASSIGN_MANIFEST = "assignments_manifest.json"
+
+
+def list_assignment_versions(workdir: str) -> list[int]:
+    """Snapshot versions recorded by ingest_drop, oldest first (empty for
+    a pre-versioning or fresh workdir)."""
+    import json
+    from pathlib import Path
+
+    mp = Path(workdir) / _ASSIGN_MANIFEST
+    if not mp.exists():
+        return []
+    return sorted(int(v) for v in json.loads(mp.read_text())["versions"])
+
+
+def read_assignments(spark, workdir: str, version: int | None = None):
+    """The maintained (url, cluster_id) assignment — latest by default, or
+    any recorded snapshot version (Iceberg-snapshot-style as-of read: every
+    ingest fold lands in a fresh versioned dir, so history costs no extra
+    writes; on an Iceberg deployment these map to table snapshots and this
+    function to VERSION AS OF). Raises KeyError for an unknown version."""
+    import json
+    from pathlib import Path
+
+    mp = Path(workdir) / _ASSIGN_MANIFEST
+    if mp.exists():
+        man = json.loads(mp.read_text())
+        v = man["latest"] if version is None else int(version)
+        if v not in set(int(x) for x in man["versions"]):
+            raise KeyError(f"assignment version {v} not in "
+                           f"{sorted(man['versions'])}")
+        return spark.read.parquet(f"{workdir}/assignments_v{v}")
+    if version is not None:
+        raise KeyError("workdir has no assignment snapshots")
+    return spark.read.parquet(f"{workdir}/assignments")
+
+
+def _write_assignment_version(df, workdir: str) -> int:
+    """Write `df` as the next assignment snapshot and repoint the manifest.
+    The write goes to a FRESH dir (never overwrites the version being
+    read), so the read-modify-write fold needs no checkpoint barrier."""
+    import json
+    from pathlib import Path
+
+    mp = Path(workdir) / _ASSIGN_MANIFEST
+    man = (json.loads(mp.read_text()) if mp.exists()
+           else {"latest": 0, "versions": []})
+    v = int(man["latest"]) + 1
+    df.write.mode("errorifexists").parquet(f"{workdir}/assignments_v{v}")
+    man["latest"] = v
+    man["versions"] = sorted(set(int(x) for x in man["versions"]) | {v})
+    mp.write_text(json.dumps(man))
+    return v
+
+
 def ingest_drop(spark, source_dir: str, workdir: str, cfg: DedupConfig,
                 state_ttl_ms: int | None = None,
                 schema: str = ("url string, warc_ts timestamp, "
@@ -223,19 +278,23 @@ def ingest_drop(spark, source_dir: str, workdir: str, cfg: DedupConfig,
        candidate pairs (bucket state persists in `workdir/ckpt_pairs`);
        its foreachBatch sink verifies each micro-batch against the
        accumulated signatures table (reference cosine / engine Jaccard —
-       the same verify_pairs) and merges kept edges into
-       `workdir/assignments` via cluster.merge_assignments, so only the
-       touched components are re-solved;
+       the same verify_pairs) and merges kept edges into the maintained
+       assignment via cluster.merge_assignments, so only the touched
+       components are re-solved;
     3. documents never seen in an edge enter as singletons.
 
     Returns the updated assignments DataFrame (url, cluster_id). At drop
     sizes << corpus size the CC work is O(drop + touched clusters), not a
     full recompute; semantics match the batch pipeline whenever no bucket
     exceeds the streaming state cap (hot buckets degrade to the same
-    star-edge connectivity the batch path uses). Storage note: the
-    assignments rewrite is whole-table parquet in this sandbox; on an
-    Iceberg deployment merge_assignments' touched/untouched split maps to
-    a MERGE INTO that rewrites only the affected files."""
+    star-edge connectivity the batch path uses). Storage note: every fold
+    lands the assignment in a FRESH `workdir/assignments_v{n}` dir with a
+    manifest pointer (the table was rewritten wholesale anyway, so the
+    version history is free) — `read_assignments(workdir, version=...)`
+    gives snapshot as-of reads/rollback across drops; on an Iceberg
+    deployment versions map to table snapshots and merge_assignments'
+    touched/untouched split to a MERGE INTO that rewrites only the
+    affected files."""
     from pathlib import Path
 
     from dedup.cluster import merge_assignments
@@ -262,27 +321,33 @@ def ingest_drop(spark, source_dir: str, workdir: str, cfg: DedupConfig,
         .outputMode("append").trigger(availableNow=True).start())
     q1.awaitTermination()
 
-    assign_dir = f"{workdir}/assignments"
-
     def latest_sigs():
         return latest_signatures(spark, sig_dir)
+
+    def current_assignments():
+        # versioned manifest first; a pre-versioning workdir's flat
+        # `assignments` dir reads as the base; None on a fresh workdir
+        if (Path(workdir) / _ASSIGN_MANIFEST).exists() or \
+                Path(f"{workdir}/assignments").exists():
+            return read_assignments(spark, workdir)
+        return None
 
     def fold(batch_df, batch_id):
         sigs = latest_sigs()
         verified = (verify_pairs(batch_df, sigs, cfg)
                     .where("keep").select("a", "b"))
-        if Path(assign_dir).exists():
-            assignments = spark.read.parquet(assign_dir)
-        else:
+        assignments = current_assignments()
+        if assignments is None:
             assignments = sigs.select(
                 "url", F.col("url").alias("cluster_id"))
         new_urls = (sigs.select("url")
                     .join(assignments.select("url"), "url", "left_anti")
                     .select("url", F.col("url").alias("cluster_id")))
-        merged = (merge_assignments(assignments.unionByName(new_urls),
-                                    verified)
-                  .localCheckpoint())  # materialize BEFORE overwriting
-        merged.write.mode("overwrite").parquet(assign_dir)
+        merged = merge_assignments(assignments.unionByName(new_urls),
+                                   verified)
+        # fresh versioned dir: no read-overwrite hazard, and the version
+        # history gives Iceberg-snapshot-style as-of reads for free
+        _write_assignment_version(merged, workdir)
 
     src = spark.readStream.schema(schema).parquet(source_dir)
     q2 = (stream_candidate_pairs(src.select("url", "text"), cfg,
@@ -295,18 +360,19 @@ def ingest_drop(spark, source_dir: str, workdir: str, cfg: DedupConfig,
     # a drop whose documents hit no blocking bucket emits no micro-batch
     # at all — enter those documents as singletons
     sigs = latest_sigs()
-    if Path(assign_dir).exists():
-        assignments = spark.read.parquet(assign_dir)
+    assignments = current_assignments()
+    if assignments is not None:
         missing = (sigs.select("url")
                    .join(assignments.select("url"), "url", "left_anti")
                    .select("url", F.col("url").alias("cluster_id"))
                    .localCheckpoint())
         if missing.count():
-            missing.write.mode("append").parquet(assign_dir)
+            _write_assignment_version(
+                assignments.unionByName(missing), workdir)
     else:
-        (sigs.select("url", F.col("url").alias("cluster_id"))
-         .write.mode("overwrite").parquet(assign_dir))
-    return spark.read.parquet(assign_dir)
+        _write_assignment_version(
+            sigs.select("url", F.col("url").alias("cluster_id")), workdir)
+    return read_assignments(spark, workdir)
 
 
 def read_pair_state(spark, checkpoint_dir: str) -> DataFrame:

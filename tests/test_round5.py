@@ -142,6 +142,50 @@ def test_merge_assignments_size_gate_fallback(spark):
     assert got_broadcast == want
 
 
+def test_ingest_assignment_snapshots_as_of_reads(spark, tmp_path):
+    """Every ingest fold lands in a fresh versioned dir: after a second
+    drop, the assignment AS OF the first drop's end is still readable and
+    equals what the first ingest_drop call returned (Iceberg-snapshot
+    analog); unknown versions raise."""
+    import glob
+    import shutil
+
+    import pytest as _pytest
+
+    from dedup.config import PARITY_CONFIG
+    from dedup.queries import docs_as_corpus
+    from dedup.streaming import (ingest_drop, list_assignment_versions,
+                                 read_assignments)
+
+    c = docs_as_corpus(spark, "/root/testdata/sf0.001") \
+        .where("doc_id < 60").select("url", "text", "doc_id")
+    src = tmp_path / "src"
+    src.mkdir()
+    wd = str(tmp_path / "wd")
+    results = []
+    for i, pred in enumerate(("doc_id < 30", "doc_id >= 30")):
+        tmp = str(tmp_path / f"tmp{i}")
+        c.where(pred).select("url", "text").coalesce(1).write.parquet(tmp)
+        shutil.copy(glob.glob(f"{tmp}/part-*.parquet")[0],
+                    str(src / f"drop{i}.parquet"))
+        r = ingest_drop(spark, str(src), wd, PARITY_CONFIG,
+                        schema="url string, text string")
+        results.append({(x["url"], x["cluster_id"]) for x in r.collect()})
+        if i == 0:
+            v_end_drop0 = max(list_assignment_versions(wd))
+
+    versions = list_assignment_versions(wd)
+    assert len(versions) >= 2 and v_end_drop0 < max(versions)
+    as_of = {(x["url"], x["cluster_id"])
+             for x in read_assignments(spark, wd, v_end_drop0).collect()}
+    assert as_of == results[0]
+    latest = {(x["url"], x["cluster_id"])
+              for x in read_assignments(spark, wd).collect()}
+    assert latest == results[1]
+    with _pytest.raises(KeyError):
+        read_assignments(spark, wd, 999)
+
+
 # --- signature-version lineage token (round-5 ADVICE, medium) ---------------
 
 
