@@ -255,7 +255,10 @@ def _write_assignment_version(df, workdir: str) -> int:
     man = (json.loads(mp.read_text()) if mp.exists()
            else {"latest": 0, "versions": []})
     v = int(man["latest"]) + 1
-    df.write.mode("errorifexists").parquet(f"{workdir}/assignments_v{v}")
+    # overwrite: a crash between the parquet write and the manifest
+    # repoint leaves an ORPHAN dir at this version — reclaim it; recorded
+    # versions are never targeted (v > latest always)
+    df.write.mode("overwrite").parquet(f"{workdir}/assignments_v{v}")
     man["latest"] = v
     man["versions"] = sorted(set(int(x) for x in man["versions"]) | {v})
     mp.write_text(json.dumps(man))

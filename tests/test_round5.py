@@ -142,6 +142,35 @@ def test_merge_assignments_size_gate_fallback(spark):
     assert got_broadcast == want
 
 
+def test_mixed_signatures_table_fails_loud_in_jaccard_mode(spark):
+    """A signatures table mixing shingle-bearing engine rows with
+    parity-slim (null-shingle) rows must raise on a jaccard-scored query,
+    not silently drop the slim rows' candidates (ADVICE r4: the
+    single-row probe can miss appended slim rows)."""
+    import pytest as _pytest
+
+    from dedup.config import ENGINE_CONFIG
+    from dedup.kernel import dedupe_metadata, SourceMetadata
+    from dedup.signature import signatures_table
+
+    texts = [(f"https://m.example/{i}",
+              " ".join(f"tok{j}" for j in range(i, i + 40)))
+             for i in range(8)]
+    full = signatures_table(
+        spark.createDataFrame(texts, "url string, text string"),
+        ENGINE_CONFIG)
+    # strip shingles from half the rows — what a parity-config append
+    # into an engine workdir produces
+    mixed = full.selectExpr(
+        "url",
+        "CASE WHEN url LIKE '%/1' OR url LIKE '%/3' THEN NULL "
+        "ELSE shingles END AS shingles",
+        *[c for c in full.columns if c not in ("url", "shingles")])
+    with _pytest.raises(Exception, match="shingle"):
+        dedupe_metadata(mixed, SourceMetadata(title=texts[1][1]),
+                        ENGINE_CONFIG, scoring="jaccard").collect()
+
+
 def test_ingest_assignment_snapshots_as_of_reads(spark, tmp_path):
     """Every ingest fold lands in a fresh versioned dir: after a second
     drop, the assignment AS OF the first drop's end is still readable and
