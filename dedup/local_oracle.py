@@ -483,8 +483,11 @@ def local_ann_pairs(vec_rows, cos_min: float, bucket_cap: int):
     out = []
     for a, b in sorted(pairs):
         va, vb = by_id[a], by_id[b]
-        cos = float(fold_dot(va, vb)
-                    / (np.sqrt(fold_dot(va, va)) * np.sqrt(fold_dot(vb, vb))))
+        with np.errstate(invalid="ignore", divide="ignore"):
+            # zero-norm side -> nan, excluded below (engine: try_divide NULL)
+            cos = float(fold_dot(va, vb)
+                        / (np.sqrt(fold_dot(va, va))
+                           * np.sqrt(fold_dot(vb, vb))))
         cos_r = round_half_up(cos, 6)
         if cos_r > cos_min:
             out.append((a, b, cos_r))
@@ -530,8 +533,11 @@ def local_ivf_pairs(vec_rows, cos_min: float, bucket_cap: int,
     out = []
     for a, b in sorted(pairs):
         va, vb = by_id[a], by_id[b]
-        cos = float(fold_dot(va, vb)
-                    / (np.sqrt(fold_dot(va, va)) * np.sqrt(fold_dot(vb, vb))))
+        with np.errstate(invalid="ignore", divide="ignore"):
+            # zero-norm side -> nan, excluded below (engine: try_divide NULL)
+            cos = float(fold_dot(va, vb)
+                        / (np.sqrt(fold_dot(va, va))
+                           * np.sqrt(fold_dot(vb, vb))))
         cos_r = round_half_up(cos, 6)
         if cos_r > cos_min:
             out.append((a, b, cos_r))
@@ -578,8 +584,11 @@ def local_ivf_trained_pairs(vec_rows, cos_min: float, bucket_cap: int,
     out = []
     for a, b in sorted(pairs):
         va, vb = by_id[a], by_id[b]
-        cos = float(fold_dot(va, vb)
-                    / (np.sqrt(fold_dot(va, va)) * np.sqrt(fold_dot(vb, vb))))
+        with np.errstate(invalid="ignore", divide="ignore"):
+            # zero-norm side -> nan, excluded below (engine: try_divide NULL)
+            cos = float(fold_dot(va, vb)
+                        / (np.sqrt(fold_dot(va, va))
+                           * np.sqrt(fold_dot(vb, vb))))
         cos_r = round_half_up(cos, 6)
         if cos_r > cos_min:
             out.append((a, b, cos_r))
