@@ -36,6 +36,17 @@ IVF_TRAIN_ITERS = 8          # Lloyd's iterations (fixed, bounded)
 IVF_INDEX_VERSION = 1
 
 
+def unit_rows(M: np.ndarray) -> np.ndarray:
+    """Row-normalize with the engine's canonical zero-norm guard: zero
+    rows divide by 1.0 (all-zero unit row, deterministic argmax) instead
+    of NaN-poisoning every downstream matmul. THE single definition —
+    queries.py and the single-node oracle import it so the policy can
+    never drift between engine and oracle."""
+    norms = np.linalg.norm(M, axis=1, keepdims=True)
+    norms[norms == 0.0] = 1.0
+    return M / norms
+
+
 def ivf_k_for(n: int, max_centroids: int = 4096) -> int:
     """Centroid count heuristic: k ~ sqrt(n), clamped to [16, max]."""
     return int(min(max_centroids, max(16, round(n ** 0.5))))
@@ -52,9 +63,7 @@ def train_kmeans(M: np.ndarray, k: int,
     keep their previous centroid. Returns the (k, dim) row-normalized
     centroid matrix. Zero-norm input rows normalize against 1.0 instead
     of NaN-poisoning the whole matrix."""
-    norms = np.linalg.norm(M, axis=1, keepdims=True)
-    norms[norms == 0.0] = 1.0
-    Mn = M / norms
+    Mn = unit_rows(M)
     k = min(k, Mn.shape[0])
     C = Mn[:k].copy()
     for _ in range(iters):
@@ -66,9 +75,7 @@ def train_kmeans(M: np.ndarray, k: int,
         counts = np.diff(np.r_[starts, sa.size])
         newC = C.copy()
         newC[sa[starts]] = sums / counts[:, None]
-        norms = np.linalg.norm(newC, axis=1, keepdims=True)
-        norms[norms == 0.0] = 1.0
-        C = newC / norms
+        C = unit_rows(newC)
     return C
 
 
@@ -146,15 +153,12 @@ def ivf_pairs(e: DataFrame, C: np.ndarray, cos_min: float,
     from dedup.lsh import pairs_within_groups
 
     spark = e.sparkSession
-    Cn_bc = spark.sparkContext.broadcast(
-        C / np.linalg.norm(C, axis=1, keepdims=True))
+    Cn_bc = spark.sparkContext.broadcast(unit_rows(C))
 
     @F.pandas_udf("array<int>")
     def cells_udf(vs: pd.Series) -> pd.Series:
         M = np.stack(vs.to_numpy()).astype(np.float64, copy=False)
-        norms = np.linalg.norm(M, axis=1, keepdims=True)
-        norms[norms == 0.0] = 1.0
-        Mn = M / norms
+        Mn = unit_rows(M)
         sims = Mn @ Cn_bc.value.T
         top = np.argsort(-sims, axis=1, kind="stable")[:, :nprobe]
         return pd.Series(list(top.astype(np.int32)))

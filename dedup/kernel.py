@@ -347,15 +347,18 @@ def dedupe_metadata(signatures: DataFrame, source: SourceMetadata,
             # applies BEFORE the shingle join, so the two per-document CLI
             # modes share one keep machinery and by-metadata stops paying
             # the full shingle-join cost the prefilter was built to avoid.
-            # Rank-0 (url_exact) candidates bypass scoring and the cut.
+            # Rank-0 (url_exact) candidates bypass scoring and the cut;
+            # the cut derives from the CALLER'S effective threshold, so an
+            # explicit low threshold (0.0 = 'keep everything') relaxes the
+            # prefilter with it instead of silently hiding candidates.
             from dedup.config import minhash_prefilter_min_equal
+            min_eq = minhash_prefilter_min_equal(cfg, threshold=threshold)
             src_arr = F.array(*[F.lit(float(x)) for x in src_sig])
             est = F.size(F.filter(
                 F.zip_with(F.col("minhash"), src_arr,
                            lambda x, y: x == y), lambda v: v))
             joined = joined.where(
-                (F.col("_rank") == 0)
-                | (est >= F.lit(minhash_prefilter_min_equal(cfg))))
+                (F.col("_rank") == 0) | (est >= F.lit(min_eq)))
         score_expr = jac_udf("shingles", "minhash")
     else:
         joined = cands.join(signatures.select("url", "minhash"), "url")

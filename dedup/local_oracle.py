@@ -32,12 +32,9 @@ import numpy as np
 from dedup.config import DedupConfig
 
 
-def _unit_rows(M: np.ndarray) -> np.ndarray:
-    """Row-normalize with the engine's zero-norm guard (zero rows divide
-    by 1.0 -> all-zero unit row, deterministic argmax)."""
-    norms = np.linalg.norm(M, axis=1, keepdims=True)
-    norms[norms == 0.0] = 1.0
-    return M / norms
+# canonical zero-norm-guarded row normalizer — the same pure function the
+# executors run (blessed shared-pure-function pattern, module docstring)
+from dedup.ann_index import unit_rows as _unit_rows
 
 # --- xxHash64 (Spark-compatible) ---------------------------------------------
 # Pure-Python implementation of the public xxHash64 algorithm (Yann Collet,

@@ -64,7 +64,8 @@ def _join_on_keys(big: DataFrame, small: DataFrame, key_cols: list[str],
 def pairs_within_groups(members: DataFrame, key_cols: list[str],
                         cap: int, member_col: str = "url",
                         keep_keys: bool = False,
-                        payload_col: str | None = None) -> DataFrame:
+                        payload_col: str | None = None,
+                        track_hot_keys: bool = False) -> DataFrame:
     """(key..., member) -> (a, b) pairs within each key group, skew-aware.
 
     Groups with <= cap members emit all pairs via native expansion; hot
@@ -95,6 +96,11 @@ def pairs_within_groups(members: DataFrame, key_cols: list[str],
     hot_keys = (m.groupBy(*key_cols).agg(F.count(F.lit(1)).alias("n"))
                 .where(F.col("n") > cap).drop("n")
                 .withColumn("_hot", F.lit(True)))
+    if track_hot_keys:
+        # tiny by construction (only above-cap keys): cache it so the
+        # caller's capped-bucket observability count reuses the partials
+        # materialized by the main pair job instead of re-scanning
+        hot_keys = hot_keys.persist()
     marked = _join_on_keys(m, hot_keys, key_cols, "left")
 
     member_expr = (F.struct("url", "_pl") if payload_col is not None
@@ -133,7 +139,10 @@ def pairs_within_groups(members: DataFrame, key_cols: list[str],
     out = cold_pairs.unionByName(hot_pairs)
     keep = ([*key_cols] if keep_keys else []) + ["a", "b"] + \
         (["pa", "pb"] if payload_col is not None else [])
-    return out.select(*keep)
+    result = out.select(*keep)
+    if track_hot_keys:
+        result._hot_keys_df = hot_keys
+    return result
 
 
 GROUP_KEY_COLS = ["gk_band", "gk_url", "gk_txt"]
@@ -233,7 +242,8 @@ def unified_group_keys(signatures: DataFrame, cfg: DedupConfig,
 
 def candidate_pairs(signatures: DataFrame,
                     cfg: DedupConfig,
-                    use_simhash_prefilter: bool = False) -> DataFrame:
+                    use_simhash_prefilter: bool = False,
+                    track_hot_keys: bool = False) -> DataFrame:
     """Full candidate set: LSH ∪ url_exact in ONE key-emission pass — one
     signatures scan, one grouped pair-expansion shuffle, one labeling
     aggregation (instead of separate band and url subplans + a dedup
@@ -254,7 +264,8 @@ def candidate_pairs(signatures: DataFrame,
         keys = unified_group_keys(signatures, cfg, with_simhash=True)
         tagged = pairs_within_groups(keys, GROUP_KEY_COLS,
                                      cfg.band_bucket_cap, keep_keys=True,
-                                     payload_col="simhash")
+                                     payload_col="simhash",
+                                     track_hot_keys=track_hot_keys)
         tagged = (tagged.where(
             F.col("gk_url").isNotNull()
             | (F.bit_count(F.col("pa").bitwiseXOR(F.col("pb")))
@@ -263,11 +274,12 @@ def candidate_pairs(signatures: DataFrame,
     else:
         keys = unified_group_keys(signatures, cfg)
         tagged = pairs_within_groups(keys, GROUP_KEY_COLS,
-                                     cfg.band_bucket_cap, keep_keys=True)
+                                     cfg.band_bucket_cap, keep_keys=True,
+                                     track_hot_keys=track_hot_keys)
     # provenance priority mirrors the reference's field order (url exact
     # short-circuits, hash bands are the signature path, title and
     # description-prefix searches are the metadata recall paths)
-    return (tagged.groupBy("a", "b")
+    result = (tagged.groupBy("a", "b")
             .agg(F.max(F.col("gk_url").isNotNull()).alias("_exact"),
                  F.max(F.col("gk_band").isNotNull()).alias("_band"),
                  F.max(F.col("gk_txt").startswith("t:")).alias("_title"))
@@ -276,3 +288,6 @@ def candidate_pairs(signatures: DataFrame,
                     .when(F.col("_band"), F.lit("lsh"))
                     .when(F.col("_title"), F.lit("title"))
                     .otherwise(F.lit("description")).alias("match_source")))
+    if track_hot_keys:
+        result._hot_keys_df = tagged._hot_keys_df
+    return result

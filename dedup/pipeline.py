@@ -157,11 +157,12 @@ class DedupPipeline:
             return df
         before = stage_ids(rest_stage_metrics(self.spark))
         t0 = time.monotonic()
-        self.storage.write_table(build(), ref)
+        built = build()
+        self.storage.write_table(built, ref)
         wall_ms = (time.monotonic() - t0) * 1000
         totals = task_totals(rest_stage_metrics(self.spark), before)
         df = self.storage.read_table(ref)
-        capped = capped_fn() if capped_fn is not None else None
+        capped = capped_fn(built) if capped_fn is not None else None
         rows, parts = self._record_metrics(stage, df, wall_ms, totals,
                                            n_capped_buckets=capped)
         self._write_manifest(stage, rows, wall_ms, parts)
@@ -212,13 +213,25 @@ class DedupPipeline:
                 .repartitionByRange(self.cfg.shuffle_partitions,
                                     "gk_band", "gk_url", "gk_txt")
                 .sortWithinPartitions("gk_band", "gk_url", "gk_txt"))
-        from dedup.lsh import capped_bucket_count
+        def count_capped(built):
+            # reuse the hot-key table the pair job just materialized
+            # (persisted, tiny: above-cap keys only) — the observability
+            # count costs a cached-table scan, not a second key-emission
+            # pass over signatures
+            hot = getattr(built, "_hot_keys_df", None)
+            if hot is None:
+                return None
+            n = hot.count()
+            hot.unpersist()
+            return n
+
         pairs = self._run_stage(
             "pairs",
             lambda: candidate_pairs(
                 signatures, self.cfg,
-                use_simhash_prefilter=(self.cfg.scoring == "jaccard")),
-            capped_fn=lambda: capped_bucket_count(signatures, self.cfg),
+                use_simhash_prefilter=(self.cfg.scoring == "jaccard"),
+                track_hot_keys=True),
+            capped_fn=count_capped,
         )
         verified = self._run_stage(
             "verified", lambda: verify_pairs(pairs, signatures, self.cfg))

@@ -38,14 +38,9 @@ def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 import contextlib
 
-
-def _unit_rows(M: np.ndarray) -> np.ndarray:
-    """Row-normalize; zero-norm rows divide by 1.0 (all-zero unit row,
-    deterministic argmax) instead of NaN-poisoning the whole Arrow batch's
-    cell assignments (same guard as dedup.ann_index.train_kmeans)."""
-    norms = np.linalg.norm(M, axis=1, keepdims=True)
-    norms[norms == 0.0] = 1.0
-    return M / norms
+# canonical zero-norm-guarded row normalizer (one definition, shared with
+# the single-node oracle so the policy cannot drift)
+from dedup.ann_index import unit_rows as _unit_rows
 
 
 # Streaming/pipeline driver queries run at a corpus SUBSET (doc_id below
@@ -1424,7 +1419,11 @@ def semantic_dedup_frame(spark, e: DataFrame, t: float, cell_cap: int):
     exceeded `cell_cap` (their tail rows pass through keep=true/rep=-1) —
     the 'no silent caps' observability counter. It is populated once the
     result materializes; callers that persist results should log/record
-    `capped_acc.value` beside them."""
+    `capped_acc.value` beside them. Accumulator semantics apply: updates
+    from a transformation are AT-LEAST-ONCE (task retries or a second
+    materialization re-add), so treat the value as an upper bound that is
+    exact on a clean single materialization — read it after ONE action,
+    not as a long-lived counter."""
     mod = ivf_centroid_mod(e.count())
     cent_rows = (e.where(F.col("vec_id") % mod == 0)
                  .orderBy("vec_id").collect())

@@ -195,45 +195,78 @@ def latest_signatures(spark, sig_dir: str) -> DataFrame:
     (re-crawl, duplicate file) keeps the row from the freshest micro-batch
     (ingest_batch stamp), tie-broken by simhash within a batch — so a
     changed re-crawl pins the new content every run instead of
-    dropDuplicates picking an arbitrary row. Tables written before the
-    ingest_batch stamp existed fall back to the old arbitrary-row dedup."""
-    df = spark.read.parquet(sig_dir)
+    dropDuplicates picking an arbitrary row.
+
+    Two legacy-workdir hazards are handled explicitly:
+    - a table started by the OLD streaming-parquet sink carries a
+      `_spark_metadata` log that batch reads would trust, silently hiding
+      every batch-appended file — the data files are globbed directly so
+      the log cannot mask them;
+    - files written before the ingest_batch stamp existed merge in with a
+      null stamp (mergeSchema) and lose to ANY stamped delivery
+      (desc_nulls_last), i.e. legacy rows are the oldest."""
+    from pathlib import Path
+
+    path = f"{sig_dir}/part-*" if Path(sig_dir, "_spark_metadata").exists() \
+        else sig_dir
+    df = spark.read.option("mergeSchema", "true").parquet(path)
     if "ingest_batch" not in df.columns:
         return df.dropDuplicates(["url"])
     from pyspark.sql import Window
     w = (Window.partitionBy("url")
-         .orderBy(F.desc("ingest_batch"), F.desc_nulls_last("simhash")))
+         .orderBy(F.desc_nulls_last("ingest_batch"),
+                  F.desc_nulls_last("simhash")))
     return (df.withColumn("_rn", F.row_number().over(w))
             .where("_rn = 1").drop("_rn", "ingest_batch"))
 
 
 _ASSIGN_MANIFEST = "assignments_manifest.json"
+# snapshots kept per workdir (Iceberg expire_snapshots analog): every fold
+# lands a full assignment copy, so an unbounded history would grow disk as
+# O(drops x corpus); the latest KEEP_ASSIGNMENT_VERSIONS stay readable
+KEEP_ASSIGNMENT_VERSIONS = 10
+
+
+def _read_assign_manifest(workdir: str) -> dict | None:
+    """Tolerant manifest read: a manifest truncated by a crash mid-write
+    (pre-atomic-rename writers) is REBUILT from the version dirs on disk
+    instead of bricking the workdir with JSONDecodeError forever."""
+    import json
+    import re
+    from pathlib import Path
+
+    mp = Path(workdir) / _ASSIGN_MANIFEST
+    if not mp.exists():
+        return None
+    try:
+        return json.loads(mp.read_text())
+    except json.JSONDecodeError:
+        versions = sorted(
+            int(m.group(1))
+            for d in Path(workdir).glob("assignments_v*")
+            if (m := re.fullmatch(r"assignments_v(\d+)", d.name))
+            and (d / "_SUCCESS").exists())
+        if not versions:
+            return None
+        return {"latest": versions[-1], "versions": versions}
 
 
 def list_assignment_versions(workdir: str) -> list[int]:
     """Snapshot versions recorded by ingest_drop, oldest first (empty for
     a pre-versioning or fresh workdir)."""
-    import json
-    from pathlib import Path
-
-    mp = Path(workdir) / _ASSIGN_MANIFEST
-    if not mp.exists():
-        return []
-    return sorted(int(v) for v in json.loads(mp.read_text())["versions"])
+    man = _read_assign_manifest(workdir)
+    return sorted(int(v) for v in man["versions"]) if man else []
 
 
 def read_assignments(spark, workdir: str, version: int | None = None):
     """The maintained (url, cluster_id) assignment — latest by default, or
-    any recorded snapshot version (Iceberg-snapshot-style as-of read: every
-    ingest fold lands in a fresh versioned dir, so history costs no extra
-    writes; on an Iceberg deployment these map to table snapshots and this
-    function to VERSION AS OF). Raises KeyError for an unknown version."""
-    import json
-    from pathlib import Path
-
-    mp = Path(workdir) / _ASSIGN_MANIFEST
-    if mp.exists():
-        man = json.loads(mp.read_text())
+    any RETAINED snapshot version (Iceberg-snapshot-style as-of read: every
+    ingest fold lands in a fresh versioned dir; on an Iceberg deployment
+    these map to table snapshots and this function to VERSION AS OF; the
+    last KEEP_ASSIGNMENT_VERSIONS are retained, older snapshots are
+    expired). Raises KeyError for an unknown/expired version."""
+    man = _read_assign_manifest(workdir)
+    if man is not None:
         v = man["latest"] if version is None else int(version)
         if v not in set(int(x) for x in man["versions"]):
             raise KeyError(f"assignment version {v} not in "
@@ -244,24 +277,35 @@ def read_assignments(spark, workdir: str, version: int | None = None):
     return spark.read.parquet(f"{workdir}/assignments")
 
 
-def _write_assignment_version(df, workdir: str) -> int:
-    """Write `df` as the next assignment snapshot and repoint the manifest.
-    The write goes to a FRESH dir (never overwrites the version being
-    read), so the read-modify-write fold needs no checkpoint barrier."""
+def _write_assignment_version(df, workdir: str,
+                              keep: int = KEEP_ASSIGNMENT_VERSIONS) -> int:
+    """Write `df` as the next assignment snapshot, repoint the manifest
+    ATOMICALLY (temp file + os.replace), and expire snapshots beyond the
+    retention window. The write goes to a FRESH dir (never overwrites the
+    version being read), so the read-modify-write fold needs no checkpoint
+    barrier."""
     import json
+    import os
+    import shutil
     from pathlib import Path
 
     mp = Path(workdir) / _ASSIGN_MANIFEST
-    man = (json.loads(mp.read_text()) if mp.exists()
-           else {"latest": 0, "versions": []})
+    man = _read_assign_manifest(workdir) or {"latest": 0, "versions": []}
     v = int(man["latest"]) + 1
     # overwrite: a crash between the parquet write and the manifest
     # repoint leaves an ORPHAN dir at this version — reclaim it; recorded
     # versions are never targeted (v > latest always)
     df.write.mode("overwrite").parquet(f"{workdir}/assignments_v{v}")
+    keep_set = sorted(set(int(x) for x in man["versions"]) | {v})[-keep:]
+    expired = [x for x in man["versions"] if int(x) not in keep_set]
     man["latest"] = v
-    man["versions"] = sorted(set(int(x) for x in man["versions"]) | {v})
-    mp.write_text(json.dumps(man))
+    man["versions"] = keep_set
+    tmp = mp.with_suffix(".json.tmp")
+    tmp.write_text(json.dumps(man))
+    os.replace(tmp, mp)  # readers see old-or-new, never a torn file
+    for x in expired:    # after the repoint: no reader can resolve them
+        shutil.rmtree(f"{workdir}/assignments_v{int(x)}",
+                      ignore_errors=True)
     return v
 
 

@@ -171,6 +171,83 @@ def test_mixed_signatures_table_fails_loud_in_jaccard_mode(spark):
                         ENGINE_CONFIG, scoring="jaccard").collect()
 
 
+def test_dedupe_metadata_jaccard_threshold_zero_keeps_everything(spark):
+    """The prefilter cut derives from the CALLER'S threshold: an explicit
+    threshold=0.0 ('keep everything', kernel.py contract) must surface a
+    title-key candidate with near-zero text similarity that the default
+    cfg-threshold cut would reject before scoring."""
+    from dedup.config import ENGINE_CONFIG
+    from dedup.kernel import SourceMetadata, dedupe_metadata
+    from dedup.signature import signatures_table
+
+    title = "Completely shared curriculum title"
+    rows = [("https://t.example/a", "xray " * 50, title, None, None),
+            ("https://t.example/b", "yankee " * 50, "Other title", None,
+             None)]
+    sigs = signatures_table(
+        spark.createDataFrame(
+            rows, "url string, text string, title string, "
+                  "description string, redirect_url string"),
+        ENGINE_CONFIG)
+    src = SourceMetadata(title=title, description="zulu " * 50)
+    strict = {r["node_url"]
+              for r in dedupe_metadata(sigs, src, ENGINE_CONFIG,
+                                       scoring="jaccard").collect()}
+    keep_all = {r["node_url"]
+                for r in dedupe_metadata(sigs, src, ENGINE_CONFIG,
+                                         threshold=0.0,
+                                         scoring="jaccard").collect()}
+    # the title-key candidate has ~0 text Jaccard: dropped under the
+    # default threshold, present under threshold=0.0
+    assert "https://t.example/a" not in strict
+    assert "https://t.example/a" in keep_all
+
+
+def test_latest_signatures_sees_batch_appends_past_sink_log(spark, tmp_path):
+    """A signatures dir started by the OLD streaming parquet sink carries
+    a _spark_metadata log; a plain batch read trusts it and silently hides
+    every batch-appended file (the new append path). latest_signatures
+    must glob past the log and merge stamped/unstamped schemas."""
+    import glob
+    import shutil
+    from pathlib import Path
+
+    from dedup.config import PARITY_CONFIG
+    from dedup.signature import signatures_table
+    from dedup.streaming import latest_signatures, stream_signatures
+
+    src = tmp_path / "src"
+    src.mkdir()
+    sig_dir, ckpt = str(tmp_path / "sigs"), str(tmp_path / "ckpt")
+    tmp = str(tmp_path / "d0")
+    spark.createDataFrame([("https://l.example/a", "alpha " * 30)],
+                          "url string, text string") \
+        .coalesce(1).write.parquet(tmp)
+    shutil.copy(glob.glob(f"{tmp}/part-*.parquet")[0],
+                str(src / "d0.parquet"))
+    q = (stream_signatures(
+        spark.readStream.schema("url string, text string")
+        .parquet(str(src)), PARITY_CONFIG)
+        .writeStream.format("parquet").option("path", sig_dir)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    assert Path(sig_dir, "_spark_metadata").exists()
+
+    # new-code batch append of a stamped row
+    from pyspark.sql import functions as F
+    (signatures_table(
+        spark.createDataFrame([("https://l.example/b", "bravo " * 30)],
+                              "url string, text string"), PARITY_CONFIG)
+        .withColumn("ingest_batch", F.lit(0))
+        .write.mode("append").parquet(sig_dir))
+
+    # the hazard this guards against: a plain read trusts the sink log
+    assert spark.read.parquet(sig_dir).count() == 1
+    urls = {r["url"] for r in latest_signatures(spark, sig_dir).collect()}
+    assert urls == {"https://l.example/a", "https://l.example/b"}
+
+
 def test_ingest_assignment_snapshots_as_of_reads(spark, tmp_path):
     """Every ingest fold lands in a fresh versioned dir: after a second
     drop, the assignment AS OF the first drop's end is still readable and
