@@ -26,7 +26,7 @@ PIPELINE_STAGES = ("p1_signatures", "p2_candidate_pairs", "p3_verify",
                    "p4_cluster")
 OPERATOR_QUERIES = ("token_count", "text_quality", "exact_dup_groups",
                     "ngram_jaccard_pairs", "embedding_knn", "events_agg",
-                    "events_user_rank")
+                    "events_user_rank", "line_dedup")
 
 
 def _pipeline_once(spark, sf_dir: str, cpus: int):
