@@ -272,6 +272,7 @@ emission on hot buckets.
 | 100k docs, x8 tokens, 512 files | local[2] 311 d/s | local[8] 1005 d/s | **0.806** | — | round 4 banked best (calm window: 0.08 s steal/12 s; chunked-MinHash optimization in) |
 | 100k docs, x8 tokens, 512 files | local[2] 328 d/s | local[8] 1003 d/s | 0.764 | — | round 4 third attempt (also calm): 2-core level gains more from calm windows than the ceiling-bound 8-core level |
 | 100k docs, x8 tokens, 512 files | local[2] 291 d/s | local[8] 793 d/s | 0.682 | 0.627 | round 5 first attempt (DIRTY window: 19.3 s steal/12 s probe, 18.5 effective cores of 32; all four trial walls 7-45% above the banked calm-window runs) |
+| 100k docs, x8 tokens, 512 files | local[2] 246 d/s | local[8] 779 d/s | 0.79 | 0.776 | round 5 second attempt (5.2 s steal/12 s; both levels' absolutes well under the banked calm readings — contention; capped-bucket metrics count A/B-measured at ~0.1-0.2 s/run, not a factor) |
 {cur_hist}
 
 ## Headline bench (driver contract)
