@@ -291,6 +291,86 @@ def q_line_dedup(spark, sf_dir):
             .orderBy("doc_id"))
 
 
+def q_domain_stats(spark, sf_dir):
+    """CCNet-style per-domain corpus statistics (training-pipeline extra):
+    web pipelines budget, sample, and gate by registered domain, so the
+    engine reports per-domain doc counts, size totals, a short-doc count
+    (the quality_filter min-length rule), and the exact-duplicate doc
+    count within the domain — all integers, exactly reproducible in SQL.
+    The synthetic corpus has no url column; the domain is derived from
+    `source` with the same deterministic construction q_url_normalize
+    uses.
+
+    The synthetic docs are all distinct at sf<=0.01, so (the pii_redact
+    precedent) a deterministic boilerplate page replaces every third
+    document IDENTICALLY on both sides — the within-domain dup counter is
+    exercised, not vacuously zero.
+
+    Scale shape: two groupBy aggregations, both map-side combined — a
+    boilerplate-hot domain partially aggregates per partition instead of
+    funneling into one reducer (the same reasoning as line_dedup's
+    hash-groupBy). Exact-dup detection groups by (domain, md5(text)) — the
+    16-byte digest rides the shuffle, never the text. The final join
+    touches two domain-cardinality aggregates; AQE broadcasts it."""
+    d = (_docs(spark, sf_dir)
+         .select("doc_id", "source",
+                 F.when(F.col("doc_id") % 3 == 0,
+                        F.concat(F.lit("shared boilerplate page for "),
+                                 F.col("source")))
+                 .otherwise(F.col("text")).alias("text"))
+         .select(
+             F.concat(F.lit("www."), "source", F.lit(".example.com"))
+             .alias("domain"),
+             F.length("text").cast("bigint").alias("n_chars"),
+             F.expr(f"size({_TOKENS})").cast("bigint").alias("n_tokens"),
+             F.md5("text").alias("text_md5")))
+    per = d.groupBy("domain").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("sum_chars"),
+        F.sum("n_tokens").alias("sum_tokens"),
+        F.sum(F.when(F.col("n_tokens") < 20, 1).otherwise(0))
+        .cast("bigint").alias("n_short"))
+    dup = (d.groupBy("domain", "text_md5")
+           .agg(F.count(F.lit(1)).alias("c"))
+           .groupBy("domain")
+           .agg(F.sum(F.when(F.col("c") > 1, F.col("c")).otherwise(0))
+                .cast("bigint").alias("n_exact_dup_docs")))
+    return per.join(dup, "domain").orderBy("domain")
+
+
+def _domain_stats_oracle_sql() -> str:
+    # deferred: _DUCK_TOKENS is defined beside the oracle dict below
+    return f"""
+WITH raw AS (
+  SELECT source,
+         CASE WHEN doc_id % 3 = 0
+              THEN 'shared boilerplate page for ' || source
+              ELSE text END AS text
+  FROM documents),
+d AS (
+  SELECT 'www.' || source || '.example.com' AS domain,
+         CAST(len(text) AS BIGINT) AS n_chars,
+         CAST(len({_DUCK_TOKENS}) AS BIGINT) AS n_tokens,
+         md5(text) AS text_md5
+  FROM raw),
+per AS (
+  SELECT domain, count(*) AS n_docs,
+         CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+         CAST(sum(n_tokens) AS BIGINT) AS sum_tokens,
+         CAST(sum(CASE WHEN n_tokens < 20 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_short
+  FROM d GROUP BY domain),
+dup AS (
+  SELECT domain,
+         CAST(sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS BIGINT)
+           AS n_exact_dup_docs
+  FROM (SELECT domain, text_md5, count(*) AS c FROM d GROUP BY 1, 2)
+  GROUP BY domain)
+SELECT per.domain, n_docs, sum_chars, sum_tokens, n_short, n_exact_dup_docs
+FROM per JOIN dup USING (domain) ORDER BY per.domain
+"""
+
+
 _PII_EMAIL = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
 _PII_PHONE = "\\+?[0-9]{1,3}-[0-9]{3}-[0-9]{4}"
 
@@ -1478,6 +1558,7 @@ def semantic_dedup_frame(spark, e: DataFrame, t: float, cell_cap: int):
 # never (or rarely) had a driver row, then everything else in historical
 # order (all green since r04 or earlier).
 QUERIES = {
+    "domain_stats": q_domain_stats,
     "stream_state_evict": q_stream_state_evict,
     "ingest_two_drops": q_ingest_two_drops,
     "stream_windowed_counts": q_stream_windowed_counts,
@@ -1860,6 +1941,7 @@ ORACLE_SQL = {
         "(2, 'signatures', false), (2, 'pairs', false), "
         "(2, 'verified', false), (2, 'clusters', false)) "
         "AS t(run_no, stage, skipped) ORDER BY run_no, stage"),
+    "domain_stats": _domain_stats_oracle_sql(),
     # C4-style global line dedup: first occurrence by (doc_id, line_no);
     # the oracle groups by the line STRING (the engine groups by its
     # xxhash64 — equal absent 2^-64 collisions)
