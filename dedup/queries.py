@@ -371,6 +371,77 @@ FROM per JOIN dup USING (domain) ORDER BY per.domain
 """
 
 
+def q_sample_split(spark, sf_dir):
+    """Reproducible split carving + stratified downsampling
+    (training-pipeline extra): every web-scale corpus needs a
+    deterministic eval holdout (for decontamination and loss eval) and
+    per-domain sampling rates (domain budgeting a la CCNet/FineWeb).
+    Both decisions hash the DOCUMENT KEY, never a row number or RNG, so
+    they are stable under repartitioning, retries, and re-runs, and any
+    engine (here: DuckDB) reproduces them byte-for-byte.
+
+    Mechanics: two independent md5 streams with distinct salts —
+    `split:<doc_id>` assigns ~5% of docs to the eval split (first 4 hex
+    chars < '0ccd' = 3277/65536), `samp:<doc_id>` downsamples TRAIN docs
+    of even-numbered domains to ~50% (< '8000'); eval rows are never
+    downsampled (a sampled holdout would silently shrink the
+    decontamination gram set). Hex-prefix STRING comparison is the
+    cross-engine portability trick: no hex->int parsing, identical
+    collation both sides.
+
+    Scale shape: pure JVM expressions (md5/substr/comparison) inside
+    whole-stage codegen, one map-side-combined groupBy((domain, split));
+    output rows = 2 x n_domains. At 100 TB the same plan is a single
+    scan + partial agg — no window, no join, no UDF, no skew (md5 is
+    uniform by construction)."""
+    d = (_docs(spark, sf_dir)
+         .select(
+             "doc_id",
+             F.concat(F.lit("www."), "source", F.lit(".example.com"))
+             .alias("domain"),
+             (F.substring(F.col("source"), 4, 10).cast("int") % 2 == 0)
+             .alias("even_domain"),
+             F.substring(F.md5(F.concat(F.lit("split:"),
+                                        F.col("doc_id").cast("string"))),
+                         1, 4).alias("split_key"),
+             F.substring(F.md5(F.concat(F.lit("samp:"),
+                                        F.col("doc_id").cast("string"))),
+                         1, 4).alias("samp_key"))
+         .withColumn("split", F.when(F.col("split_key") < "0ccd",
+                                     F.lit("eval")).otherwise(F.lit("train")))
+         .withColumn("kept", (F.col("split") == "eval")
+                     | ~F.col("even_domain")
+                     | (F.col("samp_key") < "8000")))
+    return (d.groupBy("domain", "split")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum(F.col("kept").cast("bigint")).alias("n_kept"),
+                 F.sum(F.when(F.col("kept"), F.col("doc_id")).otherwise(0))
+                 .cast("bigint").alias("kept_doc_id_sum"))
+            .orderBy("domain", "split"))
+
+
+_SAMPLE_SPLIT_SQL = """
+WITH d AS (
+  SELECT doc_id,
+         'www.' || source || '.example.com' AS domain,
+         (CAST(substr(source, 4, 10) AS INTEGER) % 2 = 0) AS even_domain,
+         substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 4) AS split_key,
+         substr(md5('samp:' || CAST(doc_id AS VARCHAR)), 1, 4) AS samp_key
+  FROM documents),
+s AS (
+  SELECT domain, doc_id,
+         CASE WHEN split_key < '0ccd' THEN 'eval' ELSE 'train' END AS split,
+         (split_key < '0ccd') OR NOT even_domain OR (samp_key < '8000')
+           AS kept
+  FROM d)
+SELECT domain, split, count(*) AS n_docs,
+       CAST(sum(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       CAST(sum(CASE WHEN kept THEN doc_id ELSE 0 END) AS BIGINT)
+         AS kept_doc_id_sum
+FROM s GROUP BY domain, split ORDER BY domain, split
+"""
+
+
 _PII_EMAIL = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
 _PII_PHONE = "\\+?[0-9]{1,3}-[0-9]{3}-[0-9]{4}"
 
@@ -655,6 +726,46 @@ def q_dup_clusters(spark, sf_dir):
     verified = verify_pairs(pairs, s, PARITY_CONFIG)
     return assign_clusters(c.select("url"),
                            verified.where("keep").select("a", "b"))
+
+
+def q_cluster_representatives(spark, sf_dir):
+    """Canonical-document selection over near-dup clusters
+    (training-pipeline extra, FineWeb/CCNet-style): after clustering, a
+    pipeline keeps ONE representative per duplicate cluster — here the
+    member with the most tokens (richest extraction wins), ties broken by
+    lexicographically smallest url so the choice is total-ordered and
+    replayable. Output: every non-singleton cluster with its
+    representative, the representative's token count, and the member /
+    dropped counts.
+
+    Scale shape: the argmax rides a single map-side-combined
+    `min(struct(-n_tokens, url))` aggregate — no window function, so a
+    boilerplate mega-cluster partially aggregates per partition instead
+    of sorting all members in one task (same skew reasoning as
+    line_dedup). The assignment->signature join is key-to-key on url;
+    at 100 TB both sides would be bucketed by url, making it
+    shuffle-free. Oracle: VALUES fixture from the single-node replica
+    (union-find + the same (-n_tokens, url) ordering)."""
+    c = docs_as_corpus(spark, sf_dir)
+    s = signatures_table(c, PARITY_CONFIG)
+    pairs = candidate_pairs(s, PARITY_CONFIG)
+    verified = verify_pairs(pairs, s, PARITY_CONFIG)
+    assign = assign_clusters(c.select("url"),
+                             verified.where("keep").select("a", "b"))
+    scored = assign.join(
+        s.select("url", F.coalesce("n_tokens", F.lit(0)).alias("nt")), "url")
+    return (scored.groupBy("cluster_id")
+            .agg(F.count(F.lit(1)).alias("cnt"),
+                 F.min(F.struct((-F.col("nt")).alias("neg_tokens"),
+                                F.col("url").alias("u"))).alias("best"))
+            .where("cnt >= 2")
+            .select("cluster_id",
+                    F.col("best.u").alias("rep_url"),
+                    (-F.col("best.neg_tokens")).cast("bigint")
+                    .alias("rep_n_tokens"),
+                    F.col("cnt").cast("bigint").alias("n_members"),
+                    (F.col("cnt") - 1).cast("bigint").alias("n_dropped"))
+            .orderBy("cluster_id"))
 
 
 def q_simhash_hamming(spark, sf_dir):
@@ -1558,6 +1669,8 @@ def semantic_dedup_frame(spark, e: DataFrame, t: float, cell_cap: int):
 # never (or rarely) had a driver row, then everything else in historical
 # order (all green since r04 or earlier).
 QUERIES = {
+    "sample_split": q_sample_split,
+    "cluster_representatives": q_cluster_representatives,
     "domain_stats": q_domain_stats,
     "stream_state_evict": q_stream_state_evict,
     "ingest_two_drops": q_ingest_two_drops,
@@ -1942,6 +2055,7 @@ ORACLE_SQL = {
         "(2, 'verified', false), (2, 'clusters', false)) "
         "AS t(run_no, stage, skipped) ORDER BY run_no, stage"),
     "domain_stats": _domain_stats_oracle_sql(),
+    "sample_split": _SAMPLE_SPLIT_SQL,
     # C4-style global line dedup: first occurrence by (doc_id, line_no);
     # the oracle groups by the line STRING (the engine groups by its
     # xxhash64 — equal absent 2^-64 collisions)

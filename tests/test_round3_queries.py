@@ -94,7 +94,7 @@ def test_stream_pairs_matches_replica(spark):
 @pytest.mark.parametrize("name", ["config_clamp", "pipeline_resume",
                                   "quality_filter", "top_terms",
                                   "stream_windowed_counts", "line_dedup",
-                                  "domain_stats"])
+                                  "domain_stats", "sample_split"])
 def test_inline_sql_oracles_match(spark, name):
     """The two new inline-VALUES oracles replicate the driver compare."""
     from tests.harness_oracle import compare_query, duck_connection

@@ -388,3 +388,46 @@ def test_pre_version_manifest_forces_recompute(spark, tmp_path):
     p3 = DedupPipeline(spark, wd, PARITY_CONFIG)
     p3.run(corpus)
     assert all(not s.skipped for s in p3.stage_infos)
+
+
+def test_cluster_representatives_match_live_replica(spark):
+    """q_cluster_representatives vs a LIVE single-node replica at sf0.001
+    (the driver's fixture oracle is frozen at sf0.01; this pins the same
+    argmax-by-(n_tokens, url) selection at the other scale)."""
+    import duckdb
+
+    from dedup import local_oracle as lo
+    from dedup.config import PARITY_CONFIG
+    from dedup.queries import q_cluster_representatives
+
+    con = duckdb.connect()
+    df = con.execute(
+        f"SELECT doc_id, text, source FROM '{SF}/documents.parquet' "
+        "ORDER BY doc_id").df()
+    rows = [(f"https://www.{s}.example.com/docs/{d}", t)
+            for d, t, s in zip(df["doc_id"], df["text"], df["source"])]
+    rows += [(f"https://mirror.net/copy/{d}", t)
+             for d, t, _ in zip(df["doc_id"], df["text"], df["source"])
+             if int(d) < 50]
+    sigs = lo.local_signatures(rows, PARITY_CONFIG)
+    pairs = lo.local_candidate_pairs(sigs, PARITY_CONFIG)
+    verified = lo.local_verify(pairs, sigs, PARITY_CONFIG)
+    keep_edges = [(a, b) for a, b, _, _, _, keep in verified if keep]
+    assign = lo.union_find_clusters([s.url for s in sigs], keep_edges)
+
+    toks = {s.url: int(s.n_tokens or 0) for s in sigs}
+    members: dict[str, list[str]] = {}
+    for url, cid in assign:
+        members.setdefault(cid, []).append(url)
+    want = set()
+    for cid, urls in members.items():
+        if len(urls) < 2:
+            continue
+        best = min(urls, key=lambda u: (-toks.get(u, 0), u))
+        want.add((cid, best, toks.get(best, 0), len(urls), len(urls) - 1))
+
+    got = {(r["cluster_id"], r["rep_url"], r["rep_n_tokens"],
+            r["n_members"], r["n_dropped"])
+           for r in q_cluster_representatives(spark, SF).collect()}
+    assert want, "replica produced no non-singleton clusters — vacuous test"
+    assert got == want

@@ -122,6 +122,26 @@ def gen_fixtures(sf_dir: str) -> dict:
         "rows": [list(t) for t in assign],
     }
 
+    # --- cluster_representatives (argmax-by-(n_tokens, url) per
+    # non-singleton cluster, same ordering the Spark min(struct) uses)
+    toks = {s.url: int(s.n_tokens or 0) for s in sigs}
+    members: dict[str, list[str]] = {}
+    for url, cid in assign:
+        members.setdefault(cid, []).append(url)
+    rep_rows = []
+    for cid, urls in members.items():
+        if len(urls) < 2:
+            continue
+        best = min(urls, key=lambda u: (-toks.get(u, 0), u))
+        rep_rows.append([cid, best, toks.get(best, 0),
+                         len(urls), len(urls) - 1])
+    fixtures["cluster_representatives"] = {
+        "columns": [["cluster_id", "VARCHAR"], ["rep_url", "VARCHAR"],
+                    ["rep_n_tokens", "BIGINT"], ["n_members", "BIGINT"],
+                    ["n_dropped", "BIGINT"]],
+        "rows": sorted(rep_rows),
+    }
+
     # --- simhash_hamming (non-mirror docs, distance to first url)
     plain = sorted((s for s in sigs
                     if not s.url.startswith("https://mirror.net/")
