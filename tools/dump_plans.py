@@ -83,6 +83,15 @@ def main() -> None:
         "line_dedup (map-side-combined first-occurrence agg on 8-byte "
         "line hashes — no per-line window)":
             QUERIES["line_dedup"](spark, sf),
+        "domain_stats (two partial aggs on (domain, md5) — digest rides "
+        "the shuffle, not the text; AQE-broadcast domain join)":
+            QUERIES["domain_stats"](spark, sf),
+        "sample_split (hash-keyed split + sampling decisions entirely in "
+        "codegen — no RNG, no UDF, one partial agg)":
+            QUERIES["sample_split"](spark, sf),
+        "cluster_representatives (argmax via min(struct) partial agg — "
+        "no window over cluster members)":
+            QUERIES["cluster_representatives"](spark, sf),
     }
     out = ["# Physical plans (captured by tools/dump_plans.py)", ""]
     for title, df in sections.items():
