@@ -357,8 +357,13 @@ def dedupe_metadata(signatures: DataFrame, source: SourceMetadata,
             est = F.size(F.filter(
                 F.zip_with(F.col("minhash"), src_arr,
                            lambda x, y: x == y), lambda v: v))
+            # NULL-shingle rows bypass the cut so they always reach
+            # jac_udf's mixed-table ValueError — otherwise a slim row
+            # whose estimate falls below min_eq would be dropped silently,
+            # the exact failure the guard exists to make loud
             joined = joined.where(
-                (F.col("_rank") == 0) | (est >= F.lit(min_eq)))
+                (F.col("_rank") == 0) | F.col("shingles").isNull()
+                | (est >= F.lit(min_eq)))
         score_expr = jac_udf("shingles", "minhash")
     else:
         joined = cands.join(signatures.select("url", "minhash"), "url")

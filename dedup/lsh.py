@@ -148,19 +148,6 @@ def pairs_within_groups(members: DataFrame, key_cols: list[str],
 GROUP_KEY_COLS = ["gk_band", "gk_url", "gk_txt"]
 
 
-def capped_bucket_count(signatures: DataFrame, cfg: DedupConfig) -> int:
-    """Number of blocking buckets above cfg.band_bucket_cap — these emitted
-    star edges instead of all pairs in pairs_within_groups. The 'no silent
-    caps' observability counter: the pipeline records it on the
-    pairs-stage metrics rows so an operator can see when the cap engaged.
-    Cost: one map-side-combined (key, count) aggregation; no member
-    strings ride the shuffle."""
-    keys = unified_group_keys(signatures, cfg)
-    return (keys.groupBy(*GROUP_KEY_COLS)
-            .agg(F.count(F.lit(1)).alias("n"))
-            .where(F.col("n") > cfg.band_bucket_cap).count())
-
-
 def key_rank_col():
     """Provenance rank of one unified-key row: 0 url exact (short-circuit),
     1 minhash band, 2 title key, 3 description-prefix key."""
@@ -266,6 +253,9 @@ def candidate_pairs(signatures: DataFrame,
                                      cfg.band_bucket_cap, keep_keys=True,
                                      payload_col="simhash",
                                      track_hot_keys=track_hot_keys)
+        # capture before the gate's reassignment: the filtered DataFrame
+        # below is a NEW object without the attribute
+        hot_keys_df = tagged._hot_keys_df if track_hot_keys else None
         tagged = (tagged.where(
             F.col("gk_url").isNotNull()
             | (F.bit_count(F.col("pa").bitwiseXOR(F.col("pb")))
@@ -276,6 +266,7 @@ def candidate_pairs(signatures: DataFrame,
         tagged = pairs_within_groups(keys, GROUP_KEY_COLS,
                                      cfg.band_bucket_cap, keep_keys=True,
                                      track_hot_keys=track_hot_keys)
+        hot_keys_df = tagged._hot_keys_df if track_hot_keys else None
     # provenance priority mirrors the reference's field order (url exact
     # short-circuits, hash bands are the signature path, title and
     # description-prefix searches are the metadata recall paths)
@@ -289,5 +280,5 @@ def candidate_pairs(signatures: DataFrame,
                     .when(F.col("_title"), F.lit("title"))
                     .otherwise(F.lit("description")).alias("match_source")))
     if track_hot_keys:
-        result._hot_keys_df = tagged._hot_keys_df
+        result._hot_keys_df = hot_keys_df
     return result

@@ -247,7 +247,8 @@ class DedupPipeline:
             "pairs": pairs,
             "verified": verified,
             "clusters": clusters,
-            "metrics": self.storage.read_table(self._stage_ref("metrics")),
+            "metrics": self.storage.read_table(self._stage_ref("metrics"),
+                                               merge_schema=True),
         }
         if keys is not None:
             out["keys"] = keys

@@ -2062,9 +2062,10 @@ ORACLE_SQL = {
     "line_dedup": (
         f"WITH t AS (SELECT doc_id, {_DUCK_TOKENS} AS tk FROM documents), "
         "l AS (SELECT doc_id, i - 1 AS line_no, "
-        "array_to_string(tk[(i-1)*10+1 : i*10], ' ') AS line "
-        "FROM t, UNNEST(range(1, CAST(ceil(len(tk) / 10.0) AS INT) + 1)) "
-        "AS u(i)), "
+        f"array_to_string(tk[(i-1)*{LINE_TOKENS}+1 : i*{LINE_TOKENS}], ' ')"
+        " AS line "
+        f"FROM t, UNNEST(range(1, CAST(ceil(len(tk) / {LINE_TOKENS}.0) "
+        "AS INT) + 1)) AS u(i)), "
         "m AS (SELECT doc_id, line_no, line, "
         "row_number() OVER (PARTITION BY line ORDER BY doc_id, line_no) = 1 "
         "AS keep FROM l) "

@@ -57,10 +57,19 @@ class Storage:
         return f"{self.config.catalog}.{ref}"
 
     # --- interface --------------------------------------------------------
-    def read_table(self, ref: str) -> DataFrame:
+    def read_table(self, ref: str, merge_schema: bool = False) -> DataFrame:
+        """merge_schema: for append-mode tables whose row schema can GROW
+        across code versions (e.g. metrics gaining columns): plain parquet
+        reads resolve the schema from one arbitrary footer, so a workdir
+        mixing old and new files would nondeterministically drop the new
+        columns; mergeSchema unions footers (old files read as NULLs).
+        Catalog (Iceberg) tables evolve schema in the catalog instead."""
         if self.config.catalog:
             return self.spark.read.table(self._qualified(ref))
-        return self.spark.read.parquet(ref)
+        reader = self.spark.read
+        if merge_schema:
+            reader = reader.option("mergeSchema", "true")
+        return reader.parquet(ref)
 
     def _ensure_namespace(self, ref: str) -> None:
         if "." in ref:

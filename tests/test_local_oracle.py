@@ -84,6 +84,7 @@ def test_fixture_file_exists_and_covers_expected_queries():
         "clusters_incremental", "stream_pairs", "semantic_dedup",
         "dup_clusters_engine", "embedding_knn_ivf_trained",
         "ingest_two_drops", "stream_state_evict",
+        "cluster_representatives",
     }
     for name, d in data.items():
         assert d["rows"], f"{name} fixture is empty"

@@ -21,8 +21,13 @@ def zero_vec_sf_dir(spark, tmp_path_factory):
     emb = spark.read.parquet(f"{SF}/embeddings.parquet")
     dim = len(emb.first()["embedding"])
     n = emb.count()
+    # centroids are rows with vec_id % mod == 0 (mod = 16 at this n), so
+    # the first zero goes on the next multiple of 16 (a CENTROID id — the
+    # centroid matrix itself contains a zero row) and the second just past
+    # it (a plain member)
+    cid = -(-n // 16) * 16
     zeros = spark.createDataFrame(
-        [(n, [0.0] * dim), (n + 1, [0.0] * dim)],
+        [(cid, [0.0] * dim), (cid + 1, [0.0] * dim)],
         "vec_id bigint, embedding array<double>")
     (emb.select("vec_id", "embedding").unionByName(zeros)
      .write.parquet(f"{base}/embeddings.parquet"))
@@ -65,8 +70,8 @@ def test_semantic_dedup_survives_zero_vectors(spark, zero_vec_sf_dir):
     want = lo.local_semantic_dedup(planted, SEM_DEDUP_T, SEM_CELL_CAP)
     assert sorted(got) == want
     # the two zero vectors are present and kept (cos 0 to everything)
-    n = len(rows) - 2
-    zero_rows = [r for r in got if r[0] in (n, n + 1)]
+    cid = max(vid for vid, _ in rows) - 1
+    zero_rows = [r for r in got if r[0] in (cid, cid + 1)]
     assert len(zero_rows) == 2
     assert all(keep for _, _, keep, _ in zero_rows)
 
@@ -431,3 +436,52 @@ def test_cluster_representatives_match_live_replica(spark):
            for r in q_cluster_representatives(spark, SF).collect()}
     assert want, "replica produced no non-singleton clusters — vacuous test"
     assert got == want
+
+
+def test_engine_mode_pipeline_tracks_capped_buckets(spark, tmp_path):
+    """Regression: scoring='jaccard' routes candidate_pairs through the
+    SimHash-prefilter branch, whose gate REASSIGNS the tagged DataFrame —
+    the hot-keys frame must be captured before that, or the pairs stage
+    dies with AttributeError and the whole engine-mode batch pipeline is
+    broken (round-5 review finding)."""
+    from dataclasses import replace
+
+    from dedup.config import ENGINE_CONFIG
+    from dedup.pipeline import dedupe_corpus
+    from dedup.synth import corpus_pdf
+
+    corpus = spark.createDataFrame(
+        corpus_pdf(60, seed=13, hot_frac=0.4)[
+            ["url", "warc_ts", "html", "text", "lang"]])
+    cfg = replace(ENGINE_CONFIG, band_bucket_cap=1)
+    tables = dedupe_corpus(spark, corpus, str(tmp_path / "wd"), cfg)
+    pairs_vals = {r["n_capped_buckets"]
+                  for r in tables["metrics"].where("stage = 'pairs'").collect()}
+    assert len(pairs_vals) == 1
+    capped = pairs_vals.pop()
+    assert capped is not None and capped >= 1
+    assert tables["clusters"].count() > 0
+
+
+def test_metrics_read_merges_grown_schema(spark, tmp_path):
+    """A workdir whose metrics table mixes pre-n_capped_buckets files with
+    new ones must read back with the full merged schema (plain parquet
+    reads resolve from one arbitrary footer)."""
+    from dedup.storage import Storage, StorageConfig
+
+    st = Storage(spark, StorageConfig(catalog=None))
+    old = spark.createDataFrame(
+        [(0, 5, "pairs", "k", 1.0)],
+        "partition_id int, rows long, stage string, job_key string, "
+        "wall_ms double")
+    new = spark.createDataFrame(
+        [(0, 5, "pairs", "k", 1.0, 3)],
+        "partition_id int, rows long, stage string, job_key string, "
+        "wall_ms double, n_capped_buckets long")
+    ref = str(tmp_path / "metrics")
+    st.write_table(old.coalesce(1), ref, mode="append")
+    st.write_table(new.coalesce(1), ref, mode="append")
+    m = st.read_table(ref, merge_schema=True)
+    assert "n_capped_buckets" in m.columns
+    vals = {r["n_capped_buckets"] for r in m.collect()}
+    assert vals == {None, 3}
