@@ -65,7 +65,7 @@ def pairs_within_groups(members: DataFrame, key_cols: list[str],
                         cap: int, member_col: str = "url",
                         keep_keys: bool = False,
                         payload_col: str | None = None,
-                        track_hot_keys: bool = False) -> DataFrame:
+                        track_hot_keys: bool = False):
     """(key..., member) -> (a, b) pairs within each key group, skew-aware.
 
     Groups with <= cap members emit all pairs via native expansion; hot
@@ -74,6 +74,13 @@ def pairs_within_groups(members: DataFrame, key_cols: list[str],
     the key columns ride along on every pair (callers aggregate them to
     label pair provenance). Null key values form their own groups (null-safe
     joins throughout).
+
+    With `track_hot_keys`, returns the TUPLE (pairs, hot_keys) — hot_keys
+    is the persisted above-cap key table for the caller's capped-bucket
+    observability count (caller unpersists). An explicit tuple, not an
+    attribute on the DataFrame: an attribute silently vanishes on the
+    first .where/.select a caller applies (that exact bug broke the
+    engine-mode pipeline in round 5).
 
     With `payload_col`, each member carries one scalar payload through the
     expansion and every emitted pair exposes both sides as (pa, pb) — this
@@ -141,7 +148,7 @@ def pairs_within_groups(members: DataFrame, key_cols: list[str],
         (["pa", "pb"] if payload_col is not None else [])
     result = out.select(*keep)
     if track_hot_keys:
-        result._hot_keys_df = hot_keys
+        return result, hot_keys
     return result
 
 
@@ -230,13 +237,16 @@ def unified_group_keys(signatures: DataFrame, cfg: DedupConfig,
 def candidate_pairs(signatures: DataFrame,
                     cfg: DedupConfig,
                     use_simhash_prefilter: bool = False,
-                    track_hot_keys: bool = False) -> DataFrame:
+                    track_hot_keys: bool = False):
     """Full candidate set: LSH ∪ url_exact in ONE key-emission pass — one
     signatures scan, one grouped pair-expansion shuffle, one labeling
     aggregation (instead of separate band and url subplans + a dedup
     window). A pair seen under any URL key is url_exact and wins: it scores
     1.0 regardless of text, like the reference's short-circuit at
-    app/hash_detector.py:263-266."""
+    app/hash_detector.py:263-266.
+
+    With `track_hot_keys`, returns (pairs, hot_keys) — see
+    pairs_within_groups."""
     if use_simhash_prefilter:
         # Engine mode: SimHash rides the key emission as a member payload
         # so the Hamming gate runs INSIDE the pair-expansion codegen
@@ -253,9 +263,10 @@ def candidate_pairs(signatures: DataFrame,
                                      cfg.band_bucket_cap, keep_keys=True,
                                      payload_col="simhash",
                                      track_hot_keys=track_hot_keys)
-        # capture before the gate's reassignment: the filtered DataFrame
-        # below is a NEW object without the attribute
-        hot_keys_df = tagged._hot_keys_df if track_hot_keys else None
+        if track_hot_keys:
+            tagged, hot_keys_df = tagged
+        else:
+            hot_keys_df = None
         tagged = (tagged.where(
             F.col("gk_url").isNotNull()
             | (F.bit_count(F.col("pa").bitwiseXOR(F.col("pb")))
@@ -266,7 +277,10 @@ def candidate_pairs(signatures: DataFrame,
         tagged = pairs_within_groups(keys, GROUP_KEY_COLS,
                                      cfg.band_bucket_cap, keep_keys=True,
                                      track_hot_keys=track_hot_keys)
-        hot_keys_df = tagged._hot_keys_df if track_hot_keys else None
+        if track_hot_keys:
+            tagged, hot_keys_df = tagged
+        else:
+            hot_keys_df = None
     # provenance priority mirrors the reference's field order (url exact
     # short-circuits, hash bands are the signature path, title and
     # description-prefix searches are the metadata recall paths)
@@ -280,5 +294,5 @@ def candidate_pairs(signatures: DataFrame,
                     .when(F.col("_title"), F.lit("title"))
                     .otherwise(F.lit("description")).alias("match_source")))
     if track_hot_keys:
-        result._hot_keys_df = hot_keys_df
+        return result, hot_keys_df
     return result

@@ -213,24 +213,31 @@ class DedupPipeline:
                 .repartitionByRange(self.cfg.shuffle_partitions,
                                     "gk_band", "gk_url", "gk_txt")
                 .sortWithinPartitions("gk_band", "gk_url", "gk_txt"))
-        def count_capped(built):
+        hot_holder: list = []
+
+        def build_pairs():
+            pairs_df, hot = candidate_pairs(
+                signatures, self.cfg,
+                use_simhash_prefilter=(self.cfg.scoring == "jaccard"),
+                track_hot_keys=True)
+            hot_holder.append(hot)
+            return pairs_df
+
+        def count_capped(_built):
             # reuse the hot-key table the pair job just materialized
             # (persisted, tiny: above-cap keys only) — the observability
             # count costs a cached-table scan, not a second key-emission
             # pass over signatures
-            hot = getattr(built, "_hot_keys_df", None)
-            if hot is None:
+            if not hot_holder:
                 return None
+            hot = hot_holder.pop()
             n = hot.count()
             hot.unpersist()
             return n
 
         pairs = self._run_stage(
             "pairs",
-            lambda: candidate_pairs(
-                signatures, self.cfg,
-                use_simhash_prefilter=(self.cfg.scoring == "jaccard"),
-                track_hot_keys=True),
+            build_pairs,
             capped_fn=count_capped,
         )
         verified = self._run_stage(

@@ -718,14 +718,20 @@ def q_metadata_block_pairs(spark, sf_dir):
             .orderBy("a", "b"))
 
 
-def q_dup_clusters(spark, sf_dir):
-    """Full dedup pipeline over the planted-mirror corpus (rows-only)."""
+def _parity_assignment(spark, sf_dir):
+    """Shared parity chain (signatures -> LSH+url pairs -> verify -> CC)
+    over the planted-mirror corpus; returns (signatures, assignment)."""
     c = docs_as_corpus(spark, sf_dir)
     s = signatures_table(c, PARITY_CONFIG)
     pairs = candidate_pairs(s, PARITY_CONFIG)
     verified = verify_pairs(pairs, s, PARITY_CONFIG)
-    return assign_clusters(c.select("url"),
-                           verified.where("keep").select("a", "b"))
+    return s, assign_clusters(c.select("url"),
+                              verified.where("keep").select("a", "b"))
+
+
+def q_dup_clusters(spark, sf_dir):
+    """Full dedup pipeline over the planted-mirror corpus (rows-only)."""
+    return _parity_assignment(spark, sf_dir)[1]
 
 
 def q_cluster_representatives(spark, sf_dir):
@@ -746,12 +752,7 @@ def q_cluster_representatives(spark, sf_dir):
     at 100 TB both sides would be bucketed by url, making it
     shuffle-free. Oracle: VALUES fixture from the single-node replica
     (union-find + the same (-n_tokens, url) ordering)."""
-    c = docs_as_corpus(spark, sf_dir)
-    s = signatures_table(c, PARITY_CONFIG)
-    pairs = candidate_pairs(s, PARITY_CONFIG)
-    verified = verify_pairs(pairs, s, PARITY_CONFIG)
-    assign = assign_clusters(c.select("url"),
-                             verified.where("keep").select("a", "b"))
+    s, assign = _parity_assignment(spark, sf_dir)
     scored = assign.join(
         s.select("url", F.coalesce("n_tokens", F.lit(0)).alias("nt")), "url")
     return (scored.groupBy("cluster_id")
@@ -1378,36 +1379,40 @@ def q_stream_windowed_counts(spark, sf_dir):
         return dt.datetime(2026, 1, 1, h, m)
 
     base = tempfile.mkdtemp(prefix="winq_")
-    src, ckpt, out = f"{base}/src", f"{base}/ckpt", f"{base}/out"
-    os.makedirs(src)
-    schema = "url string, warc_ts timestamp, lang string"
-    drops = [
-        [(f"u{i}", ts(9, 5 * i), "en") for i in range(4)]
-        + [("v0", ts(10, 10), "de"), ("w0", ts(12, 0), "en")],
-        [("late", ts(9, 40), "en"), ("x0", ts(12, 30), "en")],
-    ]
-    with _few_shuffle_partitions(spark):
-        for drop_no, rows in enumerate(drops):
-            tmp = f"{base}/tmp{drop_no}"
-            spark.createDataFrame(rows, schema).coalesce(1).write.parquet(tmp)
-            part = glob.glob(f"{tmp}/part-*.parquet")[0]
-            shutil.copy(part, f"{src}/drop{drop_no}.parquet")
-            q = (stream_windowed_counts(
-                spark.readStream.schema(schema).parquet(src),
-                watermark="30 minutes", window="1 hour")
-                .writeStream.format("parquet")
-                .option("path", out).option("checkpointLocation", ckpt)
-                .outputMode("append").trigger(availableNow=True).start())
-            q.awaitTermination()
-    result = (spark.read.parquet(out)
-              .select(F.date_format("win_start", "yyyy-MM-dd HH:mm:ss")
-                      .alias("win_start"),
-                      F.date_format("win_end", "yyyy-MM-dd HH:mm:ss")
-                      .alias("win_end"),
-                      "lang", "n_docs")
-              .orderBy("win_start", "lang").localCheckpoint())
-    shutil.rmtree(base, ignore_errors=True)
-    return result
+    try:
+        src, ckpt, out = f"{base}/src", f"{base}/ckpt", f"{base}/out"
+        os.makedirs(src)
+        schema = "url string, warc_ts timestamp, lang string"
+        drops = [
+            [(f"u{i}", ts(9, 5 * i), "en") for i in range(4)]
+            + [("v0", ts(10, 10), "de"), ("w0", ts(12, 0), "en")],
+            [("late", ts(9, 40), "en"), ("x0", ts(12, 30), "en")],
+        ]
+        with _few_shuffle_partitions(spark):
+            for drop_no, rows in enumerate(drops):
+                tmp = f"{base}/tmp{drop_no}"
+                (spark.createDataFrame(rows, schema)
+                 .coalesce(1).write.parquet(tmp))
+                part = glob.glob(f"{tmp}/part-*.parquet")[0]
+                shutil.copy(part, f"{src}/drop{drop_no}.parquet")
+                q = (stream_windowed_counts(
+                    spark.readStream.schema(schema).parquet(src),
+                    watermark="30 minutes", window="1 hour")
+                    .writeStream.format("parquet")
+                    .option("path", out).option("checkpointLocation", ckpt)
+                    .outputMode("append").trigger(availableNow=True).start())
+                q.awaitTermination()
+        return (spark.read.parquet(out)
+                .select(F.date_format("win_start", "yyyy-MM-dd HH:mm:ss")
+                        .alias("win_start"),
+                        F.date_format("win_end", "yyyy-MM-dd HH:mm:ss")
+                        .alias("win_end"),
+                        "lang", "n_docs")
+                .orderBy("win_start", "lang").localCheckpoint())
+    finally:
+        # localCheckpoint materialized the result, so the dir (tempdirs
+        # leak across failed driver sweeps otherwise) can go either way
+        shutil.rmtree(base, ignore_errors=True)
 
 
 def q_stream_pairs(spark, sf_dir):
@@ -1429,26 +1434,28 @@ def q_stream_pairs(spark, sf_dir):
          .where(f"doc_id < {STREAM_QUERY_DOC_BOUND}")
          .select("url", "text", "doc_id"))
     base = tempfile.mkdtemp(prefix="streamq_")
-    src, ckpt, out = f"{base}/src", f"{base}/ckpt", f"{base}/out"
-    os.makedirs(src)
-    schema = "url string, text string"
-    with _few_shuffle_partitions(spark):
-        for drop_no, pred in enumerate(("doc_id % 2 = 0", "doc_id % 2 = 1")):
-            # land the drop as ONE flat file in the watched dir (the file
-            # source lists files, not subdirectories)
-            tmp = f"{base}/tmp{drop_no}"
-            (c.where(pred).select("url", "text").coalesce(1)
-             .write.parquet(tmp))
-            part = glob.glob(f"{tmp}/part-*.parquet")[0]
-            shutil.copy(part, f"{src}/drop{drop_no}.parquet")
-            q = run_stream_candidate_pairs(spark, src, ckpt, out,
-                                           PARITY_CONFIG, schema=schema)
-            q.awaitTermination()
-    result = (spark.read.parquet(out)
-              .select("a", "b", "match_source").distinct()
-              .orderBy("a", "b", "match_source").localCheckpoint())
-    shutil.rmtree(base, ignore_errors=True)
-    return result
+    try:
+        src, ckpt, out = f"{base}/src", f"{base}/ckpt", f"{base}/out"
+        os.makedirs(src)
+        schema = "url string, text string"
+        with _few_shuffle_partitions(spark):
+            for drop_no, pred in enumerate(("doc_id % 2 = 0",
+                                            "doc_id % 2 = 1")):
+                # land the drop as ONE flat file in the watched dir (the
+                # file source lists files, not subdirectories)
+                tmp = f"{base}/tmp{drop_no}"
+                (c.where(pred).select("url", "text").coalesce(1)
+                 .write.parquet(tmp))
+                part = glob.glob(f"{tmp}/part-*.parquet")[0]
+                shutil.copy(part, f"{src}/drop{drop_no}.parquet")
+                q = run_stream_candidate_pairs(spark, src, ckpt, out,
+                                               PARITY_CONFIG, schema=schema)
+                q.awaitTermination()
+        return (spark.read.parquet(out)
+                .select("a", "b", "match_source").distinct()
+                .orderBy("a", "b", "match_source").localCheckpoint())
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
 
 
 def q_stream_state_evict(spark, sf_dir):
@@ -1473,29 +1480,32 @@ def q_stream_state_evict(spark, sf_dir):
          .where(f"doc_id < {STREAM_QUERY_DOC_BOUND}")
          .select("url", "text", "doc_id"))
     base = tempfile.mkdtemp(prefix="evictq_")
-    src, ckpt, out = f"{base}/src", f"{base}/ckpt", f"{base}/out"
-    os.makedirs(src)
-    schema = "url string, text string"
-    with _few_shuffle_partitions(spark):
-        for drop_no, pred in enumerate(("doc_id % 2 = 0", "doc_id % 2 = 1")):
-            tmp = f"{base}/tmp{drop_no}"
-            (c.where(pred).select("url", "text").coalesce(1)
-             .write.parquet(tmp))
-            part = glob.glob(f"{tmp}/part-*.parquet")[0]
-            shutil.copy(part, f"{src}/drop{drop_no}.parquet")
-            q = run_stream_candidate_pairs(spark, src, ckpt, out,
-                                           PARITY_CONFIG, schema=schema)
-            q.awaitTermination()
-            if drop_no == 0:
-                time.sleep(0.05)  # last_seen_ms strictly behind evict time
-                evict_expired_pair_state(spark, src, ckpt, state_ttl_ms=0,
-                                         output_dir=out)
-                assert read_pair_state(spark, ckpt).count() == 0
-    result = (spark.read.parquet(out)
-              .select("a", "b", "match_source").distinct()
-              .orderBy("a", "b", "match_source").localCheckpoint())
-    shutil.rmtree(base, ignore_errors=True)
-    return result
+    try:
+        src, ckpt, out = f"{base}/src", f"{base}/ckpt", f"{base}/out"
+        os.makedirs(src)
+        schema = "url string, text string"
+        with _few_shuffle_partitions(spark):
+            for drop_no, pred in enumerate(("doc_id % 2 = 0",
+                                            "doc_id % 2 = 1")):
+                tmp = f"{base}/tmp{drop_no}"
+                (c.where(pred).select("url", "text").coalesce(1)
+                 .write.parquet(tmp))
+                part = glob.glob(f"{tmp}/part-*.parquet")[0]
+                shutil.copy(part, f"{src}/drop{drop_no}.parquet")
+                q = run_stream_candidate_pairs(spark, src, ckpt, out,
+                                               PARITY_CONFIG, schema=schema)
+                q.awaitTermination()
+                if drop_no == 0:
+                    # last_seen_ms strictly behind evict time
+                    time.sleep(0.05)
+                    evict_expired_pair_state(spark, src, ckpt,
+                                             state_ttl_ms=0, output_dir=out)
+                    assert read_pair_state(spark, ckpt).count() == 0
+        return (spark.read.parquet(out)
+                .select("a", "b", "match_source").distinct()
+                .orderBy("a", "b", "match_source").localCheckpoint())
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
 
 
 def q_ingest_two_drops(spark, sf_dir):
@@ -1520,21 +1530,23 @@ def q_ingest_two_drops(spark, sf_dir):
          .where(f"doc_id < {STREAM_QUERY_DOC_BOUND}")
          .select("url", "text", "doc_id"))
     base = tempfile.mkdtemp(prefix="ingestq_")
-    src, wd = f"{base}/src", f"{base}/wd"
-    os.makedirs(src)
-    result = None
-    with _few_shuffle_partitions(spark):
-        for drop_no, pred in enumerate(("doc_id % 2 = 0", "doc_id % 2 = 1")):
-            tmp = f"{base}/tmp{drop_no}"
-            (c.where(pred).select("url", "text").coalesce(1)
-             .write.parquet(tmp))
-            part = glob.glob(f"{tmp}/part-*.parquet")[0]
-            shutil.copy(part, f"{src}/drop{drop_no}.parquet")
-            result = ingest_drop(spark, src, wd, PARITY_CONFIG,
-                                 schema="url string, text string")
-        out = result.orderBy("url").localCheckpoint()
-    shutil.rmtree(base, ignore_errors=True)
-    return out
+    try:
+        src, wd = f"{base}/src", f"{base}/wd"
+        os.makedirs(src)
+        result = None
+        with _few_shuffle_partitions(spark):
+            for drop_no, pred in enumerate(("doc_id % 2 = 0",
+                                            "doc_id % 2 = 1")):
+                tmp = f"{base}/tmp{drop_no}"
+                (c.where(pred).select("url", "text").coalesce(1)
+                 .write.parquet(tmp))
+                part = glob.glob(f"{tmp}/part-*.parquet")[0]
+                shutil.copy(part, f"{src}/drop{drop_no}.parquet")
+                result = ingest_drop(spark, src, wd, PARITY_CONFIG,
+                                     schema="url string, text string")
+            return result.orderBy("url").localCheckpoint()
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
 
 
 def q_pipeline_resume(spark, sf_dir):
@@ -1551,20 +1563,23 @@ def q_pipeline_resume(spark, sf_dir):
     # the output (stage name + skipped flag per run) is corpus-independent,
     # so the resume contract is exercised on a small subset
     c = docs_as_corpus(spark, sf_dir).where("doc_id < 30")
-    wd = tempfile.mkdtemp(prefix="plq_")
-    rows = []
-    with _few_shuffle_partitions(spark):
-        for run_no in (0, 1, 2):
-            p = DedupPipeline(spark, wd, PARITY_CONFIG)
-            if run_no == 2:
-                p.invalidate()
-            p.run(c)
-            rows += [(run_no, si.name, si.skipped) for si in p.stage_infos]
     import shutil
-    shutil.rmtree(wd, ignore_errors=True)
-    return (spark.createDataFrame(
-        rows, "run_no int, stage string, skipped boolean")
-        .orderBy("run_no", "stage"))
+    wd = tempfile.mkdtemp(prefix="plq_")
+    try:
+        rows = []
+        with _few_shuffle_partitions(spark):
+            for run_no in (0, 1, 2):
+                p = DedupPipeline(spark, wd, PARITY_CONFIG)
+                if run_no == 2:
+                    p.invalidate()
+                p.run(c)
+                rows += [(run_no, si.name, si.skipped)
+                         for si in p.stage_infos]
+        return (spark.createDataFrame(
+            rows, "run_no int, stage string, skipped boolean")
+            .orderBy("run_no", "stage"))
+    finally:
+        shutil.rmtree(wd, ignore_errors=True)
 
 
 # SemDeDup-style semantic dedup (Abbas et al. 2023, arXiv:2303.09540):

@@ -95,11 +95,32 @@ class Storage:
         # implementation layered over it
         return impl is None or impl == "builtin"
 
+    def _evolve_schema_for_append(self, df: DataFrame, q: str) -> None:
+        """Catalog append-tables whose row schema GROWS across code
+        versions (metrics gaining n_capped_buckets): add the missing
+        columns via ALTER TABLE before appending — both the V1 saveAsTable
+        and the V2 writeTo append raise AnalysisException on a wider
+        frame, which would kill resume of a pre-change workdir at its
+        first metrics write. The path-storage analog is read_table's
+        merge_schema."""
+        if not self.spark.catalog.tableExists(q):
+            return
+        existing = {f.name.lower()
+                    for f in self.spark.table(q).schema.fields}
+        missing = [f for f in df.schema.fields
+                   if f.name.lower() not in existing]
+        if missing:
+            cols = ", ".join(f"{f.name} {f.dataType.simpleString()}"
+                             for f in missing)
+            self.spark.sql(f"ALTER TABLE {q} ADD COLUMNS ({cols})")
+
     def write_table(self, df: DataFrame, ref: str,
                     mode: str = "overwrite") -> None:
         if self.config.catalog:
             self._ensure_namespace(ref)
             q = self._qualified(ref)
+            if mode == "append":
+                self._evolve_schema_for_append(df, q)
             if self._is_v1_session_catalog():
                 df.write.mode(mode).saveAsTable(q)
             elif mode == "overwrite":

@@ -241,11 +241,22 @@ def _read_assign_manifest(workdir: str) -> dict | None:
     try:
         return json.loads(mp.read_text())
     except json.JSONDecodeError:
-        versions = sorted(
-            int(m.group(1))
+        complete = {
+            int(m.group(1)): (d / "_COMMITTED").exists()
             for d in Path(workdir).glob("assignments_v*")
             if (m := re.fullmatch(r"assignments_v(\d+)", d.name))
-            and (d / "_SUCCESS").exists())
+            and (d / "_SUCCESS").exists()}
+        # prefer manifest-committed snapshots (the _COMMITTED marker lands
+        # right after the atomic repoint): a dir whose parquet completed
+        # but whose fold never committed (crash before the repoint) must
+        # NOT be adopted as latest — that would silently commit an
+        # uncommitted fold. Marker-less dirs only count when NO marker
+        # exists anywhere (a pre-marker legacy workdir).
+        versions = sorted(v for v, c in complete.items() if c) \
+            or sorted(complete)
+        # honor the retention contract: expired dirs a crash left on disk
+        # (rmtree runs after the repoint) must not resurrect
+        versions = versions[-KEEP_ASSIGNMENT_VERSIONS:]
         if not versions:
             return None
         return {"latest": versions[-1], "versions": versions}
@@ -303,6 +314,10 @@ def _write_assignment_version(df, workdir: str,
     tmp = mp.with_suffix(".json.tmp")
     tmp.write_text(json.dumps(man))
     os.replace(tmp, mp)  # readers see old-or-new, never a torn file
+    # commit marker for the torn-manifest rebuild path: distinguishes a
+    # manifest-committed snapshot from an orphan whose parquet completed
+    # but whose fold crashed before the repoint
+    (Path(workdir) / f"assignments_v{v}" / "_COMMITTED").touch()
     for x in expired:    # after the repoint: no reader can resolve them
         shutil.rmtree(f"{workdir}/assignments_v{int(x)}",
                       ignore_errors=True)

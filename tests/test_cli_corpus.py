@@ -39,6 +39,7 @@ def run(argv):
         sys.stdout = old
     return json.loads(buf.getvalue().splitlines()[-1])
 
+first = {{}}
 for tag, mode in (("parity", []), ("engine", ["--engine-mode"])):
     out = run(["--synth", "80", "--workdir",
                {tmp!r} + "/wd_" + tag] + mode)
@@ -46,14 +47,18 @@ for tag, mode in (("parity", []), ("engine", ["--engine-mode"])):
     # synth plants duplicate families: some docs must co-cluster
     assert 0 < out["n_clusters"] < 80, (tag, out)
     assert out["n_dup_docs"] > 0, (tag, out)
+    first[tag] = out
 
 # the two modes carry distinct job keys (config identity)
 k1 = run(["--synth", "80", "--workdir", {tmp!r} + "/wd_parity"])
 k2 = run(["--synth", "80", "--workdir", {tmp!r} + "/wd_engine",
           "--engine-mode"])
 assert k1["job_key"] != k2["job_key"]
-# and the resumed re-runs land on identical cluster counts
-assert k1["n_clusters"], k1
+# and the resumed re-runs reproduce the first runs exactly
+for tag, k in (("parity", k1), ("engine", k2)):
+    assert k["job_key"] == first[tag]["job_key"], (tag, k)
+    assert k["n_clusters"] == first[tag]["n_clusters"], (tag, k)
+    assert k["n_dup_docs"] == first[tag]["n_dup_docs"], (tag, k)
 print("CORPUS_CLI_OK")
 '''
 

@@ -79,6 +79,29 @@ def test_storage_catalog_mode_roundtrip(spark):
     assert not st.table_complete(ref)
 
 
+def test_storage_catalog_append_evolves_grown_schema(spark):
+    """Appending a WIDER frame (metrics gained n_capped_buckets) to a
+    catalog table created by older code must ALTER the table instead of
+    raising — resume of a pre-change catalog workdir dies at its first
+    metrics write otherwise (round-5 review finding)."""
+    from dedup.storage import Storage, StorageConfig
+    st = Storage(spark, StorageConfig(catalog="spark_catalog"))
+    ref = "dedup_storage_test.t_evolve"
+    st.invalidate(ref)
+    old = spark.createDataFrame([(0, "pairs", 1.0)],
+                                "partition_id int, stage string, "
+                                "wall_ms double")
+    st.write_table(old, ref)
+    new = spark.createDataFrame([(1, "pairs", 2.0, 3)],
+                                "partition_id int, stage string, "
+                                "wall_ms double, n_capped_buckets long")
+    st.write_table(new, ref, mode="append")
+    m = st.read_table(ref)
+    assert "n_capped_buckets" in m.columns
+    assert {r["n_capped_buckets"] for r in m.collect()} == {None, 3}
+    st.invalidate(ref)
+
+
 def test_pipeline_through_catalog_storage(spark, tmp_path):
     """The full pipeline runs with every stage table living in a catalog
     instead of parquet paths (SURVEY §1.3 seam, both sides exercised)."""

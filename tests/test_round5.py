@@ -485,3 +485,51 @@ def test_metrics_read_merges_grown_schema(spark, tmp_path):
     assert "n_capped_buckets" in m.columns
     vals = {r["n_capped_buckets"] for r in m.collect()}
     assert vals == {None, 3}
+
+
+def test_torn_manifest_rebuild_respects_commit_and_retention(tmp_path):
+    """The torn-manifest rebuild must not adopt an uncommitted orphan dir
+    as latest, must not resurrect dirs beyond the retention window, and
+    must still adopt marker-less dirs for pre-marker legacy workdirs
+    (round-5 review finding)."""
+    import os
+
+    from dedup.streaming import (_ASSIGN_MANIFEST, _read_assign_manifest,
+                                 KEEP_ASSIGNMENT_VERSIONS)
+
+    def mkver(wd, v, committed):
+        d = wd / f"assignments_v{v}"
+        os.makedirs(d)
+        (d / "_SUCCESS").touch()
+        if committed:
+            (d / "_COMMITTED").touch()
+
+    # orphan exclusion: v3's parquet finished but its fold never repointed
+    wd = tmp_path / "a"
+    os.makedirs(wd)
+    (wd / _ASSIGN_MANIFEST).write_text('{"latest": 2, "versi')  # torn
+    mkver(wd, 1, True)
+    mkver(wd, 2, True)
+    mkver(wd, 3, False)
+    man = _read_assign_manifest(str(wd))
+    assert man == {"latest": 2, "versions": [1, 2]}
+
+    # legacy workdir (no markers anywhere): adopt every complete dir
+    wd = tmp_path / "b"
+    os.makedirs(wd)
+    (wd / _ASSIGN_MANIFEST).write_text("{broken")
+    mkver(wd, 1, False)
+    mkver(wd, 2, False)
+    man = _read_assign_manifest(str(wd))
+    assert man == {"latest": 2, "versions": [1, 2]}
+
+    # retention: expired dirs a crash left behind must not resurrect
+    wd = tmp_path / "c"
+    os.makedirs(wd)
+    (wd / _ASSIGN_MANIFEST).write_text("{broken")
+    n = KEEP_ASSIGNMENT_VERSIONS + 3
+    for v in range(1, n + 1):
+        mkver(wd, v, True)
+    man = _read_assign_manifest(str(wd))
+    assert man["latest"] == n
+    assert man["versions"] == list(range(4, n + 1))
