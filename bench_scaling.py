@@ -275,6 +275,7 @@ emission on hot buckets.
 | 100k docs, x8 tokens, 512 files | local[2] 246 d/s | local[8] 779 d/s | 0.79 | 0.776 | round 5 second attempt (5.2 s steal/12 s; both levels' absolutes well under the banked calm readings — contention; capped-bucket metrics count A/B-measured at ~0.1-0.2 s/run, not a factor) |
 | 100k docs, x8 tokens, 512 files | local[2] 233 d/s | local[8] 867 d/s | **0.931** | 0.875 | round 5 third attempt (2.17 s steal/12 s at launch; NOTE the asymmetry caveat — 2-core absolutes ~27% below the banked calm 311-328 d/s while 8-core only ~14% below 1005, so contention inflates this ratio; read together with the calm-window 0.806/0.764 pair, the honest round-5 range is 0.79-0.93 with every window characterized) |
 | 100k docs, x8 tokens, 512 files | local[2] 266 d/s | local[8] 803 d/s | 0.756 | 0.795 | round 5 fourth attempt, late-round regression check after the review-fix commits (28.05 s steal/12 s — dirty; doubles as the refactor gate: clusters 65,289 + recall 0.9146 bit-exact at 2/8/32 cores on the post-refactor code) |
+| 100k docs, x8 tokens, 512 files | local[2] 256 d/s | local[8] 820 d/s | **0.801** | 0.798 | round 5 fifth attempt (4.12 s steal/12 s — near-calm, BALANCED contention, no asymmetry caveat; bar met at best-of-2 on the final round-5 code) |
 {cur_hist}
 
 ## Headline bench (driver contract)
