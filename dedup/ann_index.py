@@ -108,6 +108,10 @@ def build_ivf_index(spark, e: DataFrame, path: str,
     table scans ignore it) pinning the training config. Returns the
     centroid matrix."""
     n = e.count()
+    if n == 0:
+        raise ValueError(
+            "cannot train an IVF quantizer on an empty embeddings table — "
+            "no vectors to sample (check the input path/filter)")
     dim = len(e.select("v").first()["v"])
     k = k if k is not None else ivf_k_for(n)
     C = train_kmeans(sample_vectors(e, sample_cap), k, iters)

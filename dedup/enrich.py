@@ -52,7 +52,12 @@ def enrich_from_reference(sparse: DataFrame, reference_table: DataFrame,
         .join(ref.where(F.col("_r_norm_url").isNotNull()),
               F.col("_norm_url") == F.col("_r_norm_url"))
     )
-    w = Window.partitionBy(key_col).orderBy("_r_title", "_r_description")
+    # informative candidates first: Spark's ascending sort is nulls-FIRST,
+    # so a bare orderBy would deterministically pick the least-informative
+    # (null-field) reference row and discard fillable values
+    w = Window.partitionBy(key_col).orderBy(
+        F.col("_r_title").isNull(), F.col("_r_description").isNull(),
+        "_r_title", "_r_description")
     url_matches = (url_matches.withColumn("_rn", F.row_number().over(w))
                    .where("_rn = 1")
                    .select(key_col, F.col("_r_title").alias("_u_title"),
@@ -76,11 +81,19 @@ def enrich_from_reference(sparse: DataFrame, reference_table: DataFrame,
     fill_desc = F.when(F.col("_has_description"), F.col("description")
                        ).otherwise(
         F.coalesce(F.col("_u_desc"), F.col("_t_desc"), F.col("description")))
+    # provenance names the rule(s) whose values were actually APPLIED to a
+    # missing field — 'url' alone would mislabel a description that the
+    # coalesce drew from the title match because the url match's was null
+    used_url = ((~F.col("_has_title") & F.col("_u_title").isNotNull())
+                | (~F.col("_has_description") & F.col("_u_desc").isNotNull()))
+    used_title = ((~F.col("_has_title") & F.col("_u_title").isNull()
+                   & F.col("_t_title").isNotNull())
+                  | (~F.col("_has_description") & F.col("_u_desc").isNull()
+                     & F.col("_t_desc").isNotNull()))
     source = (F.when(needs, F.lit(None).cast("string"))
-              .when(F.col("_u_title").isNotNull()
-                    | F.col("_u_desc").isNotNull(), F.lit("url"))
-              .when(F.col("_t_title").isNotNull()
-                    | F.col("_t_desc").isNotNull(), F.lit("title"))
+              .when(used_url & used_title, F.lit("url+title"))
+              .when(used_url, F.lit("url"))
+              .when(used_title, F.lit("title"))
               .otherwise(F.lit(None).cast("string")))
     return (out.withColumn("title", fill_title)
             .withColumn("description", fill_desc)

@@ -36,6 +36,20 @@ _DROP_BLOCK_RE = re.compile(
     r'|<(script|style|noscript|template|nav|header|footer|aside)\b.*?</\1\s*>',
     re.IGNORECASE | re.DOTALL,
 )
+# self-closing forms of the same tags: removed BEFORE the paired-block
+# pass — otherwise '<script src=x/>' has no own closer and the lazy
+# paired match swallows every legitimate byte up to the NEXT </script>
+_DROP_SELFCLOSE_RE = re.compile(
+    r'<(?:script|style|noscript|template|nav|header|footer|aside)\b[^>]*/>',
+    re.IGNORECASE,
+)
+# an UNCLOSED code-bearing opener (no </script> anywhere after): drop to
+# end of document — stripping only the tag would leak raw JS/CSS source
+# into the extracted training text
+_DROP_UNCLOSED_RE = re.compile(
+    r'<(?:script|style|noscript|template)\b[^>]*>.*\Z',
+    re.IGNORECASE | re.DOTALL,
+)
 _BODY_RE = re.compile(r'<body\b[^>]*>(.*?)</body\s*>', re.IGNORECASE | re.DOTALL)
 # closing block tags / <br> / <hr> that imply a line break
 _BLOCK_BREAK_RE = re.compile(
@@ -56,7 +70,9 @@ def extract_text(html_bytes: bytes | None) -> str | None:
     raw = html_bytes.decode("utf-8", errors="replace")
     if not raw:
         return ""
-    doc = _DROP_BLOCK_RE.sub("", raw)
+    doc = _DROP_SELFCLOSE_RE.sub("", raw)
+    doc = _DROP_BLOCK_RE.sub("", doc)
+    doc = _DROP_UNCLOSED_RE.sub("", doc)
     m = _BODY_RE.search(doc)
     if m:
         doc = m.group(1)

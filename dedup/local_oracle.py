@@ -398,7 +398,7 @@ def local_dedupe_metadata(sigs: list[DocSig], title: str | None,
 def local_substring_fingerprints(corpus_rows, cfg: DedupConfig, k: int = 64):
     """(url, fp, pos) rows — same winnowing math as dedup/substring.py
     (shared pure functions), independent assembly."""
-    from dedup.substring import _window_hashes, _winnow
+    from dedup.substring import _positions_per_fp, _window_hashes, _winnow
     w = max(1, cfg.substring_min_len - k + 1)
     out = []
     for url, text in corpus_rows:
@@ -407,8 +407,7 @@ def local_substring_fingerprints(corpus_rows, cfg: DedupConfig, k: int = 64):
         hashes = _window_hashes(text, k)
         sel = _winnow(hashes, w)
         h = hashes[sel].astype(np.int64)
-        _, first = np.unique(h, return_index=True)
-        for j in np.sort(first):
+        for j in _positions_per_fp(h, sel):
             out.append((url, int(h[j]), int(sel[j])))
     return out
 
@@ -419,17 +418,23 @@ def local_substring_pairs(corpus_rows, cfg: DedupConfig, k: int = 64,
     all shared witnesses (bounded, sorted), max extension, keep >= min_len."""
     corpus_rows = list(corpus_rows)
     fps = local_substring_fingerprints(corpus_rows, cfg, k)
+    # pair generation over DISTINCT (fp, url) — position multiplicity must
+    # not change group sizes vs the Spark side's .distinct()
     cand = {(a, b) for _, a, b in
-            pairs_from_groups(((fp, url) for url, fp, _ in fps), group_cap)}
-    fp_by_url: dict[str, dict[int, int]] = defaultdict(dict)
+            pairs_from_groups(sorted({(fp, url) for url, fp, _ in fps}),
+                              group_cap)}
+    fp_by_url: dict[str, dict[int, list[int]]] = defaultdict(
+        lambda: defaultdict(list))
     for url, fp, pos in fps:
-        fp_by_url[url][fp] = pos
+        fp_by_url[url][fp].append(pos)
     text_by_url = {u: t for u, t in corpus_rows}
     out = []
     for a, b in sorted(cand):
         fa, fb = fp_by_url[a], fp_by_url[b]
         shared = set(fa) & set(fb)
-        witnesses = sorted((fa[fp], fb[fp]) for fp in shared)[:max_witnesses]
+        witnesses = sorted({(pa, pb) for fp in shared
+                            for pa in fa[fp]
+                            for pb in fb[fp]})[:max_witnesses]
         ba = text_by_url[a].encode("utf-8", errors="replace")
         bb = text_by_url[b].encode("utf-8", errors="replace")
         best = 0
@@ -724,16 +729,17 @@ def local_media_features(items):
 
 
 def local_media_dup_pairs(features, hamming_max: int = 6):
-    """(a, b, match_source): sha256-exact groups + 4x16-bit fingerprint band
-    buckets with Hamming verify; exact label wins on overlap."""
+    """(a, b, match_source): sha256-exact groups + 8x8-bit fingerprint band
+    buckets (clean-band guarantee covers Hamming <= 7 >= hamming_max) with
+    Hamming verify; exact label wins on overlap."""
     exact = {(a, b) for _, a, b in pairs_from_groups(
         ((sha, url) for url, _, _, sha, _ in features), 10_000)}
     banded = []
     fp_by_url = {}
     for url, _, _, _, fp in features:
         fp_by_url[url] = fp
-        for band in range(4):
-            banded.append(((band, (fp >> (band * 16)) & 0xFFFF), url))
+        for band in range(8):
+            banded.append(((band, (fp >> (band * 8)) & 0xFF), url))
     near = set()
     for _, a, b in pairs_from_groups(banded, 10_000):
         xor = (fp_by_url[a] ^ fp_by_url[b]) & _M64

@@ -46,7 +46,16 @@ def task_totals(stages: list[dict] | None,
     None when the REST API is unavailable."""
     if stages is None:
         return None
-    new = [s for s in stages if s["stageId"] not in exclude_ids]
+    # /stages lists each stage ATTEMPT as its own entry; a stage retried
+    # after a fetch failure would double-count its telemetry. Keep only
+    # the latest attempt per stageId.
+    latest: dict[int, dict] = {}
+    for s in stages:
+        sid = s["stageId"]
+        if (sid not in latest
+                or s.get("attemptId", 0) > latest[sid].get("attemptId", 0)):
+            latest[sid] = s
+    new = [s for sid, s in latest.items() if sid not in exclude_ids]
     return {
         "executor_run_time_ms": sum(s.get("executorRunTime", 0) for s in new),
         "shuffle_read_bytes": sum(s.get("shuffleReadBytes", 0) for s in new),

@@ -66,13 +66,23 @@ def _decode_stub(data: bytes, media_type: str) -> np.ndarray:
     raise ValueError(f"unknown media_type: {media_type}")
 
 
+def _decode_image_pil(data: bytes) -> np.ndarray:  # pragma: no cover
+    """Real image decode (PIL present): grayscale, 64x64, [0, 1] float32 —
+    the same shape contract as the stub, so every downstream stage is
+    byte-layout compatible."""
+    from io import BytesIO
+
+    from PIL import Image
+    img = Image.open(BytesIO(data)).convert("L").resize((64, 64))
+    return np.asarray(img, dtype=np.float32) / 255.0
+
+
 def decode_media(data: bytes, media_type: str) -> np.ndarray:
     """Decode media bytes to a float array. Dispatches to a real decoder
-    when available; otherwise the deterministic stub (see _decode_stub)."""
-    if media_type in _REAL_DECODERS:  # pragma: no cover
-        raise NotImplementedError(
-            "real decoder wiring intentionally left to the deployment "
-            "environment; this sandbox has no codec libraries")
+    when available (merely having Pillow installed must not crash the
+    image path); otherwise the deterministic stub (see _decode_stub)."""
+    if media_type == "image" and _REAL_DECODERS.get("image") == "pil":
+        return _decode_image_pil(data)  # pragma: no cover
     return _decode_stub(data, media_type)
 
 
@@ -103,7 +113,11 @@ def media_features(df: DataFrame) -> DataFrame:
                     "url": url, "media_type": mtype, "byte_len": len(raw),
                     "sha256": hashlib.sha256(raw).hexdigest(),
                     "mean": float(flat.mean()), "std": float(flat.std()),
-                    "hist": hist, "fingerprint": np.int64(np.uint64(fp)),
+                    "hist": hist,
+                    # portable two's-complement fold (numpy>=2 raises
+                    # OverflowError on np.int64(np.uint64(top-bit-set)))
+                    "fingerprint": np.int64(fp - (1 << 64)
+                                            if fp >= (1 << 63) else fp),
                 })
             yield pd.DataFrame(rows)
 
@@ -166,11 +180,15 @@ def media_dup_pairs(features: DataFrame, hamming_max: int = 6) -> DataFrame:
     as text LSH; no self-join)."""
     exact = (pairs_within_groups(features, ["sha256"], cap=10_000)
              .withColumn("match_source", F.lit("media_exact")))
-    # 4 bands of 16 bits each: near-identical fingerprints collide somewhere
+    # 8 bands of 8 bits: pigeonhole guarantees a clean band (hence a
+    # bucket collision) for every pair within Hamming distance <= 7 —
+    # covering the hamming_max=6 verify. 4x16 banding only guaranteed
+    # <= 3; pairs at distance 4-6 spread one-bit-per-band were silently
+    # missed (round-5 review finding).
     banded = features.select(
         "url", F.posexplode(F.expr(
-            "transform(sequence(0, 3), "
-            "i -> struct(i as band, shiftright(fingerprint, i * 16) & 65535 "
+            "transform(sequence(0, 7), "
+            "i -> struct(i as band, shiftright(fingerprint, i * 8) & 255 "
             "as chunk))")).alias("_", "bb")
     ).select("url", F.col("bb.band").alias("band"),
              F.col("bb.chunk").alias("chunk"))

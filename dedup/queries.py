@@ -1163,43 +1163,16 @@ def q_embedding_knn_ivf(spark, sf_dir):
     and rerank exactly. Same non-degenerate shape as the LSH variant:
     vectors never ride the shuffle, no cell self-join. The only driver
     collect is the centroid set itself, bounded at <= 4096 rows."""
-    from dedup.lsh import pairs_within_groups
+    from dedup.ann_index import ivf_pairs
     e = _emb(spark, sf_dir).select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v"))
     mod = ivf_centroid_mod(e.count())
     cent_rows = (e.where(F.col("vec_id") % mod == 0)
                  .orderBy("vec_id").collect())
     C = np.stack([np.asarray(r["v"]) for r in cent_rows])  # (k<=4096, dim)
-    Cn_bc = spark.sparkContext.broadcast(_unit_rows(C))
-    nprobe = 2
-
-    @F.pandas_udf("array<int>")
-    def cells_udf(vs: pd.Series) -> pd.Series:
-        M = np.stack(vs.to_numpy()).astype(np.float64, copy=False)
-        Mn = _unit_rows(M)
-        sims = Mn @ Cn_bc.value.T
-        top = np.argsort(-sims, axis=1, kind="stable")[:, :nprobe]
-        return pd.Series(list(top.astype(np.int32)))
-
-    cells = (e.select(F.col("vec_id").cast("string").alias("url"),
-                      F.explode(cells_udf("v")).alias("cell")))
-    raw = (pairs_within_groups(cells, ["cell"], ANN_BUCKET_CAP)
-           .select(F.col("a").cast("bigint").alias("_x"),
-                   F.col("b").cast("bigint").alias("_y")))
-    pairs = (raw.select(F.least("_x", "_y").alias("a"),
-                        F.greatest("_x", "_y").alias("b"))
-             .dropDuplicates(["a", "b"]))
-    va = e.select(F.col("vec_id").alias("a"), F.col("v").alias("va"))
-    vb = e.select(F.col("vec_id").alias("b"), F.col("v").alias("vb"))
-    dot = F.expr("aggregate(zip_with(va, vb, (x, y) -> x * y), "
-                 "cast(0.0 as double), (acc, x) -> acc + x)")
-    norm = ("sqrt(aggregate(transform({0}, x -> x * x), cast(0.0 as double), "
-            "(acc, x) -> acc + x))")
-    cos = F.try_divide(dot, F.expr(norm.format("va")) * F.expr(norm.format("vb")))
-    return (pairs.join(va, "a").join(vb, "b")
-            .select("a", "b", F.round(cos, 6).alias("cos_sim"))
-            .where(f"cos_sim > {ANN_COS_MIN}")
-            .orderBy("a", "b"))
+    # assignment/pair/rerank shared with the trained variant — one copy of
+    # the IVF semantics to keep in sync (round-5 review cleanup)
+    return ivf_pairs(e, C, ANN_COS_MIN, ANN_BUCKET_CAP)
 
 
 def q_embedding_knn_ivf_trained(spark, sf_dir):
@@ -1975,13 +1948,15 @@ ORACLE_SQL = {
         "um AS (SELECT record_id, u_title, u_desc FROM ("
         "SELECT s.record_id, ref.r_title AS u_title, ref.r_desc AS u_desc, "
         "row_number() OVER (PARTITION BY s.record_id "
-        "ORDER BY ref.r_title, ref.r_desc) AS rn "
+        "ORDER BY (ref.r_title IS NULL), (ref.r_desc IS NULL), "
+        "ref.r_title, ref.r_desc) AS rn "
         "FROM s JOIN ref ON s.norm_url = ref.r_norm "
         "WHERE NOT (s.has_t AND s.has_d)) WHERE rn = 1), "
         "tm AS (SELECT record_id, t_title, t_desc FROM ("
         "SELECT s.record_id, ref.r_title AS t_title, ref.r_desc AS t_desc, "
         "row_number() OVER (PARTITION BY s.record_id "
-        "ORDER BY ref.r_title, ref.r_desc) AS rn "
+        "ORDER BY (ref.r_title IS NULL), (ref.r_desc IS NULL), "
+        "ref.r_title, ref.r_desc) AS rn "
         "FROM s JOIN ref ON s.tkey = ref.r_tkey "
         "WHERE NOT (s.has_t AND s.has_d) AND s.has_t) WHERE rn = 1) "
         "SELECT s.record_id, "
@@ -1991,8 +1966,16 @@ ORACLE_SQL = {
         "ELSE coalesce(um.u_desc, tm.t_desc, s.description) END AS description, "
         "s.url, "
         "CASE WHEN s.has_t AND s.has_d THEN NULL "
-        "WHEN um.u_title IS NOT NULL OR um.u_desc IS NOT NULL THEN 'url' "
-        "WHEN tm.t_title IS NOT NULL OR tm.t_desc IS NOT NULL THEN 'title' "
+        "WHEN ((NOT s.has_t AND um.u_title IS NOT NULL) OR "
+        "(NOT s.has_d AND um.u_desc IS NOT NULL)) AND "
+        "((NOT s.has_t AND um.u_title IS NULL AND tm.t_title IS NOT NULL) "
+        "OR (NOT s.has_d AND um.u_desc IS NULL AND tm.t_desc IS NOT NULL)) "
+        "THEN 'url+title' "
+        "WHEN (NOT s.has_t AND um.u_title IS NOT NULL) OR "
+        "(NOT s.has_d AND um.u_desc IS NOT NULL) THEN 'url' "
+        "WHEN (NOT s.has_t AND um.u_title IS NULL AND "
+        "tm.t_title IS NOT NULL) OR (NOT s.has_d AND um.u_desc IS NULL AND "
+        "tm.t_desc IS NOT NULL) THEN 'title' "
         "ELSE NULL END AS enrichment_source "
         "FROM s LEFT JOIN um USING (record_id) LEFT JOIN tm USING (record_id)"),
     "quality_filter": (

@@ -82,9 +82,30 @@ def _winnow(hashes: np.ndarray, w: int) -> np.ndarray:
     return np.unique(idx)
 
 
+MAX_POS_PER_FP = 8
+
+
+def _positions_per_fp(h: np.ndarray, sel: np.ndarray) -> np.ndarray:
+    """Indices into (h, sel) keeping the earliest MAX_POS_PER_FP positions
+    of every distinct fingerprint value, in position order (deterministic)."""
+    # stable sort by hash: ties (repeated fingerprints) stay in position
+    # order, so each group's first MAX_POS_PER_FP are its earliest
+    order = np.argsort(h, kind="stable")
+    hs = h[order]
+    starts = np.flatnonzero(np.r_[True, hs[1:] != hs[:-1]])
+    ends = np.r_[starts[1:], hs.size]
+    keep = np.concatenate([order[s:min(e, s + MAX_POS_PER_FP)]
+                           for s, e in zip(starts, ends)])
+    return np.sort(keep)
+
+
 def substring_fingerprints(corpus: DataFrame, cfg: DedupConfig,
                            k: int = 64) -> DataFrame:
-    """corpus(url, text) -> (url, fp, pos): winnowed k-char fingerprints."""
+    """corpus(url, text) -> (url, fp, pos): winnowed k-char fingerprints.
+    A within-doc repeated fingerprint emits up to MAX_POS_PER_FP rows (one
+    per position) so verification can find a witness INSIDE the shared
+    run; pair generation dedupes to (url, fp) first, so the group cap
+    semantics are position-count independent."""
     w = max(1, cfg.substring_min_len - k + 1)
 
     def compute(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -96,9 +117,15 @@ def substring_fingerprints(corpus: DataFrame, cfg: DedupConfig,
                 hashes = _window_hashes(text, k)
                 sel = _winnow(hashes, w)
                 h = hashes[sel].astype(np.int64)
-                # dedupe identical fingerprints within one doc (keep first)
-                _, first = np.unique(h, return_index=True)
-                for j in np.sort(first):
+                # keep up to MAX_POS_PER_FP earliest positions per repeated
+                # within-doc fingerprint — keeping only the FIRST would
+                # relocate the verify witness outside a shared run whenever
+                # the selected k-gram also occurs earlier in unshared text,
+                # silently dropping a pair the winnowing guarantee promises
+                # (the bound keeps pathological self-repetition from
+                # exploding the table; beyond it the guarantee degrades
+                # like group_cap does)
+                for j in _positions_per_fp(h, sel):
                     urls.append(url)
                     fps.append(int(h[j]))
                     poss.append(int(sel[j]))
@@ -121,7 +148,8 @@ def substring_pairs(corpus: DataFrame, cfg: DedupConfig,
     # and extending a single witness could miss the longest shared run when
     # a pair shares both a short and a long substring).
     max_witnesses = 32
-    cand = (pairs_within_groups(fps, ["fp"], group_cap)
+    cand = (pairs_within_groups(fps.select("fp", "url").distinct(),
+                                ["fp"], group_cap)
             .join(fps.select(F.col("url").alias("a"), "fp",
                              F.col("pos").alias("pos_a")), ["a"])
             .join(fps.select(F.col("url").alias("b"), F.col("fp").alias("fp_b"),

@@ -206,3 +206,41 @@ class TestStreamingStateTTL:
         # ...and the re-seeded bucket pairs the fresh arrivals
         assert ("https://late.example.org/dup-a",
                 "https://late.example.org/dup-b") in got
+
+
+class TestEnrichSelection:
+    def test_informative_candidate_preferred_over_null_fields(self, spark):
+        """Among several url-matched reference rows the one WITH values
+        must win — Spark's nulls-first ascending sort otherwise picks the
+        null-field candidate and discards fillable values (round-5 review
+        finding)."""
+        sparse = spark.createDataFrame(
+            [("r1", None, None, "https://www.site.com/p")],
+            "record_id string, title string, description string, url string")
+        ref = spark.createDataFrame(
+            [(None, "x-desc", "https://site.com/p"),
+             ("Real Title", "y-desc", "https://site.com/p/")],
+            "title string, description string, url string")
+        got = {r["record_id"]: r for r in
+               enrich_from_reference(sparse, ref).collect()}
+        assert got["r1"]["title"] == "Real Title"
+        assert got["r1"]["description"] == "y-desc"
+        assert got["r1"]["enrichment_source"] == "url"
+
+    def test_mixed_rule_fill_labels_both_sources(self, spark):
+        """Description drawn from the title rule because the url match's
+        was null must not be labeled plain 'url' — provenance names every
+        rule that actually supplied an applied value."""
+        sparse = spark.createDataFrame(
+            [("r1", "Known Title", None, "https://www.only.com/a")],
+            "record_id string, title string, description string, url string")
+        ref = spark.createDataFrame(
+            [("U-title", None, "https://only.com/a"),
+             ("known title", "T-desc", "https://elsewhere.com/b")],
+            "title string, description string, url string")
+        got = {r["record_id"]: r for r in
+               enrich_from_reference(sparse, ref).collect()}
+        # record HAS a title; only description is missing. url match can't
+        # fill it (null desc), title match can -> source is 'title'
+        assert got["r1"]["description"] == "T-desc"
+        assert got["r1"]["enrichment_source"] == "title"

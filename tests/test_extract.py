@@ -65,3 +65,24 @@ class TestExtractSparkParity:
                 ln.strip() for ln in (r["text"] or "").split("\n")
                 if ln.strip())
             assert r["extracted"] == expect, r["url"]
+
+
+def test_self_closing_script_does_not_swallow_content():
+    """'<script src=x/>' has no own closer; the paired-block regex must
+    not extend to the NEXT </script> and silently delete the legitimate
+    content in between (round-5 review finding)."""
+    from dedup.extract import extract_text
+
+    html = (b"<body><p>real</p><script src='x.js'/><p>content A</p>"
+            b"<script>var s=1;</script><p>B</p></body>")
+    assert extract_text(html) == "real\ncontent A\nB"
+
+
+def test_unclosed_script_does_not_leak_source():
+    """An unclosed <script> with no later closer must not leak raw JS
+    into the extracted text (it is dropped to end of document)."""
+    from dedup.extract import extract_text
+
+    got = extract_text(b"<body><p>ok</p><script>var leak=1; function f(){}")
+    assert got == "ok"
+    assert "leak" not in got

@@ -69,3 +69,26 @@ class TestMediaDedup:
         for p in planted:
             key = (min(p), max(p))
             assert key in pairs, f"missing planted twin pair {key}"
+
+
+def test_near_pair_spread_bits_survives_banding(spark):
+    """Fingerprints differing in 4 bits, one per former 16-bit band, must
+    still pair: the 8x8-bit banding's clean-band guarantee covers every
+    pair within Hamming <= 7 (the old 4x16 banding only guaranteed <= 3
+    and silently missed such pairs — round-5 review finding)."""
+    from dedup.multimodal import media_dup_pairs
+    from dedup import local_oracle as lo
+
+    base = 0x0123456789ABCDEF
+    other = base ^ (1 | (1 << 16) | (1 << 32) | (1 << 48))  # Hamming 4
+    rows = [("u1", "image", 10, "sha-one", 0.5, 0.1, [0.0], base),
+            ("u2", "image", 10, "sha-two", 0.5, 0.1, [0.0], other)]
+    f = spark.createDataFrame(
+        rows, "url string, media_type string, byte_len int, sha256 string,"
+        " mean double, std double, hist array<double>, fingerprint bigint")
+    got = {(r["a"], r["b"], r["match_source"])
+           for r in media_dup_pairs(f).collect()}
+    assert got == {("u1", "u2", "media_near")}
+    # single-node oracle agrees under the same banding
+    feats = [(u, m, b, s, fp) for u, m, b, s, _, _, _, fp in rows]
+    assert lo.local_media_dup_pairs(feats) == [("u1", "u2", "media_near")]

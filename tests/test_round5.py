@@ -533,3 +533,38 @@ def test_torn_manifest_rebuild_respects_commit_and_retention(tmp_path):
     man = _read_assign_manifest(str(wd))
     assert man["latest"] == n
     assert man["versions"] == list(range(4, n + 1))
+
+
+def test_task_totals_keeps_latest_stage_attempt():
+    """A retried stage appears as two attempt entries in /stages; only the
+    latest attempt's telemetry may count (round-5 review finding)."""
+    from dedup.metrics import task_totals
+
+    stages = [
+        {"stageId": 1, "attemptId": 0, "executorRunTime": 100,
+         "numTasks": 8, "shuffleReadBytes": 10, "shuffleWriteBytes": 5,
+         "inputBytes": 1},
+        {"stageId": 1, "attemptId": 1, "executorRunTime": 120,
+         "numTasks": 8, "shuffleReadBytes": 12, "shuffleWriteBytes": 6,
+         "inputBytes": 2},
+        {"stageId": 2, "attemptId": 0, "executorRunTime": 50,
+         "numTasks": 4, "shuffleReadBytes": 0, "shuffleWriteBytes": 0,
+         "inputBytes": 0},
+    ]
+    t = task_totals(stages)
+    assert t["n_spark_stages"] == 2
+    assert t["executor_run_time_ms"] == 170  # 120 (latest) + 50, not 270
+    assert t["num_tasks"] == 12
+    assert task_totals(stages, exclude_ids={1})["executor_run_time_ms"] == 50
+
+
+def test_build_ivf_index_refuses_empty_table(spark, tmp_path):
+    """Empty embeddings input fails with a clear message, not an opaque
+    NoneType/stack error."""
+    import pytest as _pytest
+
+    from dedup.ann_index import build_ivf_index
+
+    e = spark.createDataFrame([], "vec_id bigint, v array<double>")
+    with _pytest.raises(ValueError, match="empty embeddings"):
+        build_ivf_index(spark, e, str(tmp_path / "idx"))

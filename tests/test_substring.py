@@ -87,3 +87,82 @@ class TestSubstringPairs:
         for r in rows:
             assert (r["a"].rsplit("-", 1)[0] == r["b"].rsplit("-", 1)[0]
                     ), f"unexpected substring pair {r}"
+
+
+class TestRepeatedFingerprintWitness:
+    def test_early_decoy_occurrence_does_not_hide_shared_run(self, spark):
+        """A doc whose selected k-grams ALSO occur early in unshared junk
+        must still pair with a doc sharing the long run: the witness must
+        come from INSIDE the run, not the first occurrence (round-5 review
+        finding — single-position fingerprints relocated the witness and
+        dropped the pair). MAX_POS_PER_FP=1 replicates the old first-
+        position-only behavior and must miss the planted pair, proving the
+        multi-position emission is what finds it."""
+        import random
+
+        import dedup.substring as sub
+        from dedup import local_oracle as lo
+        from dedup.config import PARITY_CONFIG
+
+        from collections import defaultdict
+
+        rng = random.Random(99)
+        alpha = "abcdefghijklmnopqrstuvwxyz "
+        S = "".join(rng.choice(alpha) for _ in range(300))
+        B = "".join(rng.choice(alpha) for _ in range(150)) + S
+        k = 64
+
+        def shared_fps_first_seen_in_run(A):
+            """Shared selected fps whose EARLIEST selected occurrence in A
+            still lies inside the shared run (i.e. not yet decoyed)."""
+            orig = sub.MAX_POS_PER_FP
+            try:
+                sub.MAX_POS_PER_FP = 1  # old first-position-only view
+                fps = lo.local_substring_fingerprints(
+                    [("a", A), ("b", B)], PARITY_CONFIG)
+            finally:
+                sub.MAX_POS_PER_FP = orig
+            fa, fb = defaultdict(list), defaultdict(list)
+            for url, fp, pos in fps:
+                (fa if url == "a" else fb)[fp].append(pos)
+            run_start = len(A) - len(S)
+            return [(fp, fa[fp][0]) for fp in set(fa) & set(fb)
+                    if fa[fp][0] >= run_start]
+
+        # prepend isolated random-flanked decoy copies of each still-bad
+        # selected window until every shared fp's first SELECTED occurrence
+        # sits in non-extending junk (fresh random flanks each round give
+        # the decoy an independent chance of being the winnow local min)
+        A = "".join(rng.choice(alpha) for _ in range(80)) + S
+        for _ in range(80):
+            bad = shared_fps_first_seen_in_run(A)
+            if not bad:
+                break
+            A = "".join(
+                "".join(rng.choice(alpha) for _ in range(150)) + A[p:p + k]
+                + "".join(rng.choice(alpha) for _ in range(150))
+                for _, p in bad) + A
+        else:
+            raise AssertionError("decoy construction did not converge")
+
+        rows = [("https://x.org/a", A), ("https://x.org/b", B)]
+
+        # old behavior (first position only) misses the pair
+        orig = sub.MAX_POS_PER_FP
+        try:
+            sub.MAX_POS_PER_FP = 1
+            old = lo.local_substring_pairs(rows, PARITY_CONFIG)
+            assert old == [], f"decoy construction failed to hide: {old}"
+        finally:
+            sub.MAX_POS_PER_FP = orig
+
+        # new behavior finds it, single-node and Spark agreeing
+        want = lo.local_substring_pairs(rows, PARITY_CONFIG)
+        assert [(a, b) for a, b, _, _ in want] == [
+            ("https://x.org/a", "https://x.org/b")]
+        assert want[0][2] >= PARITY_CONFIG.substring_min_len
+
+        c = spark.createDataFrame(rows, "url string, text string")
+        got = [(r["a"], r["b"], r["substr_len"], r["match_source"])
+               for r in sub.substring_pairs(c, PARITY_CONFIG).collect()]
+        assert sorted(got) == sorted(want)
