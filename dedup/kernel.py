@@ -60,11 +60,15 @@ def _require_shingles(signatures: DataFrame) -> None:
     still carries the column (all null, keep_shingles=False), so probe one
     signed row — silently-empty results would otherwise masquerade as
     'no duplicates'."""
-    probe = None
-    if "shingles" in signatures.columns:
-        probe = (signatures.where(F.col("minhash").isNotNull())
-                 .select("shingles").first())
-    if probe is None or probe["shingles"] is None:
+    if "shingles" not in signatures.columns:
+        raise ValueError(
+            "scoring='jaccard' needs a signatures table with shingle "
+            "arrays (build it under an engine config / keep_shingles=True)")
+    probe = (signatures.where(F.col("minhash").isNotNull())
+             .select("shingles").first())
+    if probe is None:
+        return  # no signed rows at all — nothing to score, not a slim table
+    if probe["shingles"] is None:
         raise ValueError(
             "scoring='jaccard' needs a signatures table with shingle "
             "arrays (build it under an engine config / keep_shingles=True)")
@@ -234,8 +238,7 @@ def dedupe_metadata(signatures: DataFrame, source: SourceMetadata,
     from dedup.local_oracle import xxh64_band_key
     from dedup.lsh import unified_group_keys
     from dedup.normalize import description_block_key, title_block_keys
-    from dedup.signature import (char_shingle_hashes, shingle_hashes,
-                                 tokenize)
+    from dedup.signature import _shingle_array, tokenize
     from dedup.verify import cosine_similarity
 
     cfg = cfg or DedupConfig()
@@ -301,13 +304,12 @@ def dedupe_metadata(signatures: DataFrame, source: SourceMetadata,
         return pd.Series(out, dtype="float64")
 
     if use_jaccard:
+        # same shingling as signatures_table (signature._shingle_array) so
+        # the driver-side source set can't drift from the stored arrays;
+        # values are < 2^32 so the int64 view is lossless
         words = tokenize(" ".join(parts))
-        sh_set = ((char_shingle_hashes(words, cfg.char_shingle_size)
-                   if cfg.char_shingles
-                   else shingle_hashes(words, cfg.shingle_size))
-                  if words else set())
-        src_sh = np.sort(np.fromiter(sh_set, dtype=np.int64,
-                                     count=len(sh_set)))
+        src_sh = (np.sort(_shingle_array(words, cfg).astype(np.int64))
+                  if words else np.empty(0, dtype=np.int64))
 
         @F.pandas_udf(DoubleType())
         def jac_udf(shingle_arrays: pd.Series,
@@ -452,7 +454,14 @@ def dedupe_one(signatures: DataFrame, url: str,
     from dedup.verify import verify_pairs
 
     cfg = cfg or DedupConfig()
-    src_rows = signatures.where(F.col("url") == url).collect()
+    # project the source row down to the key-derivation columns before the
+    # collect — the full row would drag the shingle array (the widest
+    # column by far) to the driver just to be ignored
+    src_cols = ["minhash", "norm_url", "norm_redirect"]
+    if "title_keys" in signatures.columns:
+        src_cols += ["title_keys", "desc_key"]
+    src_rows = (signatures.where(F.col("url") == url)
+                .select(*src_cols).collect())
     if not src_rows:
         return signatures.sparkSession.createDataFrame(
             [], "node_url string, similarity double, match_source string")

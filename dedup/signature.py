@@ -15,8 +15,9 @@ Parity targets (tested bit-exact vs a live reference import):
   arrays this small: 2 * num_hashes * 8 bytes).
 
 Engine extras (no reference counterpart; north-star spec):
-- SimHash 64-bit fingerprint over the shingle strings (blake2b-64 per
-  shingle, sign-summed), Hamming distance via native bit_count(a ^ b).
+- SimHash 64-bit fingerprint over the shingle hashes (each 32-bit shingle
+  hash expanded to 64 bits with the splitmix64 finalizer, then sign-summed),
+  Hamming distance via native bit_count(a ^ b).
 - optional k-char shingling mode.
 
 Scale notes: the heavy math is numpy inside mapInPandas (Arrow batches,

@@ -166,7 +166,11 @@ def generate_docs(n_docs: int, seed: int = 42,
         roll = rng.random()
         base_url = f"site{i}.example.org/pages/doc-{i}"
         lang = rng.choice(_LANGS)
-        hot = rng.random() < hot_frac
+        # the draw's VALUE is unused (corpus_pdf re-rolls hot-band flags
+        # with its own rng) but it must stay: removing it would shift the
+        # shared rng stream and regenerate every frozen fixture/corpus
+        # differently
+        _hot_draw = rng.random() < hot_frac
 
         if roll < 0.08:  # exact duplicates: same text, k different urls
             text = _paragraphs(rng, rng.randint(sc(120), sc(400)))
@@ -250,7 +254,14 @@ def write_corpus(spark, path: str, n_docs: int, seed: int = 42,
     """Materialize the corpus as parquet (Iceberg-shaped schema; this sandbox
     has no iceberg-spark-runtime jar, so plain parquet stands in behind the
     same schema — SURVEY §1.3). Generation is parallelized across seeds on
-    executors for large n_docs (each shard is independently deterministic)."""
+    executors for large n_docs (each shard is independently deterministic).
+
+    Sharded generation (> 20k docs) rounds n_docs UP to a whole number of
+    shards: per_shard = ceil(n_docs / n_shards), so the written corpus has
+    n_shards * per_shard rows (e.g. 100_000 over 512 shards -> 100_352).
+    Deliberate: truncating the last shard would change the frozen rng
+    streams and invalidate every banked bench invariant; consumers (bench,
+    recall) count the actual rows and report them honestly."""
     if n_docs <= 20_000:
         pdf = corpus_pdf(n_docs, seed, hot_frac, token_scale=token_scale)
         df = spark.createDataFrame(pdf)
@@ -273,9 +284,12 @@ def write_corpus(spark, path: str, n_docs: int, seed: int = 42,
                 # truth ids are shard-local counters: offset them into
                 # disjoint ranges so (truth_cluster) is GLOBALLY unique —
                 # url-host shard markers can't disambiguate youtube-form
-                # urls, so downstream recall math needs this
+                # urls, so downstream recall math needs this. 2^40 per
+                # shard keeps the ranges disjoint up to a trillion docs
+                # per shard while staying far inside int64 (recall math
+                # only needs uniqueness, so renumbering is harmless)
                 mask = sp["truth_cluster"] >= 0
-                sp.loc[mask, "truth_cluster"] += (int(shard) + 1) * 10_000_000
+                sp.loc[mask, "truth_cluster"] += (int(shard) + 1) * (1 << 40)
                 yield sp
 
     schema = ("url string, warc_ts timestamp, html binary, text string, "

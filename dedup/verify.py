@@ -38,17 +38,6 @@ def cosine_similarity(sig1: np.ndarray, sig2: np.ndarray) -> float:
     return float(np.dot(s1, s2) / (np.linalg.norm(s1) * np.linalg.norm(s2)))
 
 
-def jaccard_cols(shingles_a, shingles_b):
-    """Exact Jaccard on (sorted, distinct) shingle arrays — native expression,
-    no Python. Works unchanged on the int32 bit-pattern storage: two stored
-    values are equal iff the underlying uint32 hashes are, which is all
-    intersect/union sizes read."""
-    inter = F.size(F.array_intersect(shingles_a, shingles_b))
-    union = F.size(F.array_union(shingles_a, shingles_b))
-    return F.when(union > 0, inter.cast("double") / union.cast("double")
-                  ).otherwise(F.lit(0.0))
-
-
 def batch_cosines(sig_a_series, sig_b_series) -> np.ndarray:
     """Batched reference cosine: signatures are fixed length k, so the Arrow
     batch is one rectangular matrix and batched BLAS matmul scores every
