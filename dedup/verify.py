@@ -174,6 +174,13 @@ def verify_pairs(pairs: DataFrame, signatures: DataFrame,
         return url_exact.unionByName(scored)
 
     # --- engine (jaccard) mode -------------------------------------------
+    # NOTE: rejected + survivors both derive from with_est, so the
+    # pairs-signatures join above is planned twice (once per branch of the
+    # final union). An A/B with a persisted with_est measured no wall-clock
+    # win at bench scale (AQE reuses the exchange; the join is cheap next
+    # to the mapInPandas scoring barrier), so the single-pass rewrite is
+    # deliberately NOT taken — revisit only if a profile shows the doubled
+    # join stage dominating at larger inputs.
     min_equal = minhash_prefilter_min_equal(cfg)
     with_est = joined.withColumn("_est", minhash_estimate_equal_count_col())
     rejected = (with_est.where(F.col("_est") < min_equal)
