@@ -1652,11 +1652,24 @@ def semantic_dedup_frame(spark, e: DataFrame, t: float, cell_cap: int):
 # --- registry --------------------------------------------------------------------
 
 # Registry order = driver check order. The driver's correctness budget can
-# run out before the tail (r03 checked 49, r04 checked 50 of 55), so the
-# LEAST-PROVEN queries go FIRST: the streaming/pipeline entries that have
-# never (or rarely) had a driver row, then everything else in historical
-# order (all green since r04 or earlier).
+# run out before the tail (r03 checked 49, r04/r05 checked 50 of 55/60).
+# ROTATION RULE: queries whose latest green driver row is OLDEST go FIRST,
+# so no query's driver signature is ever more than one round stale. For
+# r06 that is the 10 entries the r05 budget did not reach (last signed in
+# CORRECTNESS_r04.json), led by dup_clusters_engine (it exercises the
+# verify/lsh code refactored in r05); the r05-signed block follows in its
+# previous order.
 QUERIES = {
+    "dup_clusters_engine": q_dup_clusters_engine,
+    "embedding_knn_ivf_trained": q_embedding_knn_ivf_trained,
+    "events_agg": q_events_agg,
+    "events_user_rank": q_events_user_rank,
+    "events_hourly_topk": q_events_hourly_topk,
+    "permutation_coeffs": q_permutation_coeffs,
+    "minhash_signatures_engine": q_minhash_signatures_engine,
+    "candidate_stats": q_candidate_stats,
+    "config_clamp": q_config_clamp,
+    "clusters_incremental": q_clusters_incremental,
     "sample_split": q_sample_split,
     "cluster_representatives": q_cluster_representatives,
     "domain_stats": q_domain_stats,
@@ -1707,16 +1720,6 @@ QUERIES = {
     "region_revenue": q_region_revenue,
     "pricing_summary": q_pricing_summary,
     "embedding_knn_ivf": q_embedding_knn_ivf,
-    "embedding_knn_ivf_trained": q_embedding_knn_ivf_trained,
-    "events_agg": q_events_agg,
-    "events_user_rank": q_events_user_rank,
-    "events_hourly_topk": q_events_hourly_topk,
-    "permutation_coeffs": q_permutation_coeffs,
-    "minhash_signatures_engine": q_minhash_signatures_engine,
-    "dup_clusters_engine": q_dup_clusters_engine,
-    "candidate_stats": q_candidate_stats,
-    "config_clamp": q_config_clamp,
-    "clusters_incremental": q_clusters_incremental,
 }
 
 # --- fixture oracles --------------------------------------------------------------
