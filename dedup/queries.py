@@ -256,14 +256,22 @@ def q_line_dedup(spark, sf_dir):
     line count, how many of its lines were dropped as repeats of an
     earlier line, and the md5 of the text reassembled from its kept lines.
 
-    Scale shape: first-occurrence is a groupBy(line_hash).min(struct(
-    doc_id, line_no)) — map-side combine absorbs boilerplate-hot lines
-    (millions of identical cookie banners partially aggregate per
-    partition), where a row_number() window would funnel every occurrence
-    of a hot line into one partition. The join-back on the 8-byte
-    xxhash64 line key is 1:N with a single build row per key, the shape
-    AQE skew-split handles. Oracle groups by the line string itself —
-    equal output absent 2^-64 hash collisions."""
+    Scale shape (restructured r6, bit-identical output — see
+    OPTIMIZATION_r06.md): first-occurrence is ONE groupBy(line_hash).min(
+    struct(doc_id, line_no, line)) — map-side combine absorbs
+    boilerplate-hot lines (millions of identical cookie banners partially
+    aggregate per partition), where a row_number() window would funnel
+    every occurrence of a hot line into one partition. (doc_id, line_no)
+    is globally unique, so carrying the line string as the struct's third
+    field changes no min and lets each distinct line's winner keep its
+    text WITHOUT the former join-back of every line occurrence onto the
+    first-occurrence table (that join shuffled the line payload twice and
+    re-ran the scan+explode a second time). Per-doc totals come from a
+    cheap token-count-only scan (no explode), so the doc-level
+    aggregation only ever sees the KEPT lines; the final doc_id-level
+    join touches two doc-cardinality sides and AQE broadcasts it. Oracle
+    groups by the line string itself — equal output absent 2^-64 hash
+    collisions, exactly as before."""
     lines = (_docs(spark, sf_dir)
              .select("doc_id", F.expr(_TOKENS).alias("t"))
              .select("doc_id", F.posexplode(F.expr(
@@ -273,21 +281,38 @@ def q_line_dedup(spark, sf_dir):
                  f" AS INT) - 1), i -> concat_ws(' ', slice(t, "
                  f"i * {LINE_TOKENS} + 1, {LINE_TOKENS}))) END")))
              .withColumnsRenamed({"pos": "line_no", "col": "line"}))
-    keyed = lines.withColumn("_h", F.xxhash64("line"))
-    first = (keyed.groupBy("_h")
-             .agg(F.min(F.struct("doc_id", "line_no")).alias("_first")))
-    marked = (keyed.join(first, "_h")
-              .withColumn("_keep",
-                          (F.col("doc_id") == F.col("_first.doc_id"))
-                          & (F.col("line_no") == F.col("_first.line_no"))))
-    return (marked.groupBy("doc_id")
-            .agg(F.count(F.lit(1)).alias("n_lines"),
-                 F.sum(F.when(~F.col("_keep"), 1).otherwise(0))
-                 .cast("bigint").alias("n_dup_lines"),
-                 F.md5(F.concat_ws(" ", F.expr(
-                     "transform(array_sort(collect_list(CASE WHEN _keep "
-                     "THEN struct(line_no, line) END)), s -> s.line)")))
-                 .alias("clean_md5"))
+    kept = (lines.groupBy(F.xxhash64("line").alias("_h"))
+            .agg(F.min(F.struct("doc_id", "line_no", "line"))
+                 .alias("_first"))
+            .select("_first.doc_id", "_first.line_no", "_first.line"))
+    kept_per_doc = (kept.groupBy("doc_id")
+                    .agg(F.count(F.lit(1)).alias("_n_kept"),
+                         F.md5(F.concat_ws(" ", F.expr(
+                             "transform(array_sort(collect_list("
+                             "struct(line_no, line))), s -> s.line)")))
+                         .alias("_kept_md5")))
+    totals = (_docs(spark, sf_dir)
+              .select("doc_id", F.expr(f"size({_TOKENS})").alias("_nt"))
+              .where("_nt > 0")
+              # coalesce only to pin the non-nullable type the former
+              # count(1) aggregate declared (_nt > 0 rows are never null)
+              .select("doc_id",
+                      F.coalesce(
+                          F.expr(f"CAST(ceil(_nt / {LINE_TOKENS}.0)"
+                                 " AS BIGINT)"),
+                          F.lit(0).cast("bigint")).alias("n_lines")))
+    return (totals.join(kept_per_doc, "doc_id", "left")
+            .select("doc_id", "n_lines",
+                    # nullif(-1) only to pin the nullable type the former
+                    # sum() aggregate declared (the count is never -1)
+                    F.nullif(F.col("n_lines")
+                             - F.coalesce("_n_kept", F.lit(0)),
+                             F.lit(-1).cast("bigint"))
+                    .alias("n_dup_lines"),
+                    # a doc whose every line repeats an earlier doc keeps
+                    # nothing: md5 of the empty reassembly, as before
+                    F.coalesce("_kept_md5", F.md5(F.lit("")))
+                    .alias("clean_md5"))
             .orderBy("doc_id"))
 
 

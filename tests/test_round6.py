@@ -1,0 +1,77 @@
+"""Round-6 optimization equivalence tests: every restructured query/operator
+must produce BIT-IDENTICAL results to its round-5 formulation (the driver
+re-hashes results against unchanged oracles, so "close" is a regression).
+Each test pins the old formulation inline and compares exactly."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+SF = "/root/testdata/sf0.01"
+
+
+def _exact_same(df_old, df_new):
+    assert str(df_old.schema) == str(df_new.schema), (
+        df_old.schema, df_new.schema)
+    old = [tuple(r) for r in df_old.collect()]
+    new = [tuple(r) for r in df_new.collect()]
+    assert old == new
+
+
+def test_line_dedup_matches_r5_formulation(spark):
+    from dedup.queries import LINE_TOKENS, _TOKENS, _docs, q_line_dedup
+
+    def old_line_dedup(spark, sf_dir):
+        lines = (_docs(spark, sf_dir)
+                 .select("doc_id", F.expr(_TOKENS).alias("t"))
+                 .select("doc_id", F.posexplode(F.expr(
+                     f"CASE WHEN size(t) = 0 THEN array() ELSE "
+                     f"transform(sequence(0, CAST(ceil(size(t) / "
+                     f"{LINE_TOKENS}.0) AS INT) - 1), i -> concat_ws(' ', "
+                     f"slice(t, i * {LINE_TOKENS} + 1, {LINE_TOKENS}))) "
+                     f"END")))
+                 .withColumnsRenamed({"pos": "line_no", "col": "line"}))
+        keyed = lines.withColumn("_h", F.xxhash64("line"))
+        first = (keyed.groupBy("_h")
+                 .agg(F.min(F.struct("doc_id", "line_no")).alias("_first")))
+        marked = (keyed.join(first, "_h")
+                  .withColumn("_keep",
+                              (F.col("doc_id") == F.col("_first.doc_id"))
+                              & (F.col("line_no")
+                                 == F.col("_first.line_no"))))
+        return (marked.groupBy("doc_id")
+                .agg(F.count(F.lit(1)).alias("n_lines"),
+                     F.sum(F.when(~F.col("_keep"), 1).otherwise(0))
+                     .cast("bigint").alias("n_dup_lines"),
+                     F.md5(F.concat_ws(" ", F.expr(
+                         "transform(array_sort(collect_list(CASE WHEN "
+                         "_keep THEN struct(line_no, line) END)), "
+                         "s -> s.line)")))
+                     .alias("clean_md5"))
+                .orderBy("doc_id"))
+
+    _exact_same(old_line_dedup(spark, SF), q_line_dedup(spark, SF))
+
+
+def test_line_dedup_all_dup_doc_gets_empty_md5(spark, tmp_path):
+    # a doc whose EVERY line repeats an earlier doc exercises the left-join
+    # + coalesce(md5('')) path the restructure introduced
+    from dedup.queries import q_line_dedup
+    import shutil
+    sfd = tmp_path / "sf"
+    sfd.mkdir()
+    base = " ".join(f"word{i:02d}" for i in range(40))
+    docs = spark.createDataFrame(
+        [(0, base, "en", "s"),
+         (1, base, "en", "s"),  # pure repeat: every line dups doc 0's
+         (2, base + " unique tail words here", "en", "s")],
+        "doc_id bigint, text string, lang string, source string")
+    docs.write.parquet(str(sfd / "documents.parquet"))
+    rows = {r["doc_id"]: r for r in q_line_dedup(spark, str(sfd)).collect()}
+    assert rows[1]["n_dup_lines"] == rows[1]["n_lines"]
+    import hashlib
+    assert rows[1]["clean_md5"] == hashlib.md5(b"").hexdigest()
+    assert rows[0]["n_dup_lines"] == 0
+    shutil.rmtree(sfd, ignore_errors=True)
