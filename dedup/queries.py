@@ -812,18 +812,67 @@ def q_simhash_hamming(spark, sf_dir):
 
 def q_embedding_knn(spark, sf_dir):
     """Brute-force cosine top-5 neighbors for query vectors vec_id < 5
-    (ANN baseline). Sequential-fold dot product in double precision."""
+    (ANN baseline). Sequential-fold dot product in double precision.
+
+    r6 shape (bit-identical scores — OPTIMIZATION_r06.md): the old
+    crossJoin replicated every corpus vector per query and evaluated the
+    fold as an INTERPRETED higher-order aggregate per pair (guide §4.1:
+    prefer vectorized batches over per-row expression trees). Now the
+    <=5 query vectors (bounded by construction, the repo's centroid-
+    collect precedent) ride the UDF closure and ONE Arrow pass over the
+    embeddings computes all query dots + the row's own norm with a
+    vectorized column loop whose add order is exactly the SQL
+    aggregate's left fold — products then left-to-right IEEE adds, so
+    every double is bit-identical to the old expression (pinned by
+    tests/test_round6.py). Each vector crosses the Python boundary once
+    instead of once per query, and the division stays in SQL so
+    try_divide null semantics are untouched."""
     e = _emb(spark, sf_dir).select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v"))
-    q = (e.where("vec_id < 5")
-         .select(F.col("vec_id").alias("qid"), F.col("v").alias("qv")))
-    dot = F.expr("aggregate(zip_with(qv, v, (x, y) -> x * y), "
-                 "cast(0.0 as double), (acc, x) -> acc + x)")
-    norm = ("sqrt(aggregate(transform({0}, x -> x * x), cast(0.0 as double), "
-            "(acc, x) -> acc + x))")
-    cos = F.try_divide(dot, F.expr(norm.format("qv")) * F.expr(norm.format("v")))
-    scored = (q.crossJoin(e).where(F.col("qid") != F.col("vec_id"))
-              .select("qid", "vec_id", cos.alias("cos")))
+    q_rows = e.where("vec_id < 5").orderBy("vec_id").collect()
+    if not q_rows:
+        return (e.select("vec_id",
+                         F.lit(None).cast("bigint").alias("qid"),
+                         F.lit(None).cast("bigint").alias("rank"),
+                         F.lit(None).cast("double").alias("cos_sim"))
+                .select("qid", "vec_id", "rank", "cos_sim").limit(0))
+    import math
+    Q = np.array([r["v"] for r in q_rows], dtype=np.float64)
+    qids = [int(r["vec_id"]) for r in q_rows]
+    qnorms = []
+    for r in q_rows:
+        acc = 0.0
+        for x in r["v"]:          # same left fold as the SQL aggregate
+            acc += x * x
+        qnorms.append(math.sqrt(acc))
+
+    @F.pandas_udf("struct<dots: array<double>, nv: double>")
+    def knn_scores(vs: pd.Series) -> pd.DataFrame:
+        M = np.stack(vs.to_numpy()).astype(np.float64, copy=False)
+        n = M.shape[0]
+        dots = np.zeros((n, Q.shape[0]), dtype=np.float64)
+        nsq = np.zeros(n, dtype=np.float64)
+        for j in range(Q.shape[1]):   # left fold, bit-equal to aggregate()
+            col = M[:, j]
+            dots += col[:, None] * Q[None, :, j]
+            nsq += col * col
+        return pd.DataFrame({"dots": list(dots), "nv": np.sqrt(nsq)})
+
+    qid_lit = F.array(*[F.lit(q).cast("bigint") for q in qids])
+    qn_lit = F.array(*[F.lit(x) for x in qnorms])
+    scored = (e.select("vec_id", knn_scores("v").alias("s"))
+              .select("vec_id", F.col("s.nv").alias("nv"),
+                      F.posexplode("s.dots").alias("qi", "dot"))
+              # nullif(null) never fires; it only pins the nullable type
+              # the old crossJoin column declared
+              .select(F.nullif(F.element_at(qid_lit, F.col("qi") + 1),
+                               F.lit(None).cast("bigint")).alias("qid"),
+                      "vec_id",
+                      F.try_divide(
+                          F.col("dot"),
+                          F.element_at(qn_lit, F.col("qi") + 1)
+                          * F.col("nv")).alias("cos"))
+              .where(F.col("qid") != F.col("vec_id")))
     w = Window.partitionBy("qid").orderBy(F.desc("cos"), F.asc("vec_id"))
     return (scored.withColumn("rank", F.row_number().over(w))
             .where("rank <= 5")

@@ -55,6 +55,63 @@ def test_line_dedup_matches_r5_formulation(spark):
     _exact_same(old_line_dedup(spark, SF), q_line_dedup(spark, SF))
 
 
+def test_embedding_knn_matches_r5_formulation(spark):
+    # the r6 rewrite ships each vector over Arrow once and folds dots in a
+    # vectorized column loop; scores must stay bit-identical to the old
+    # interpreted aggregate() fold (the driver hashes rounded doubles)
+    from pyspark.sql import Window
+    from dedup.queries import _emb, q_embedding_knn
+
+    def old_knn(spark, sf_dir):
+        e = _emb(spark, sf_dir).select(
+            "vec_id", F.col("embedding").cast("array<double>").alias("v"))
+        q = (e.where("vec_id < 5")
+             .select(F.col("vec_id").alias("qid"), F.col("v").alias("qv")))
+        dot = F.expr("aggregate(zip_with(qv, v, (x, y) -> x * y), "
+                     "cast(0.0 as double), (acc, x) -> acc + x)")
+        norm = ("sqrt(aggregate(transform({0}, x -> x * x), "
+                "cast(0.0 as double), (acc, x) -> acc + x))")
+        cos = F.try_divide(dot, F.expr(norm.format("qv"))
+                           * F.expr(norm.format("v")))
+        scored = (q.crossJoin(e).where(F.col("qid") != F.col("vec_id"))
+                  .select("qid", "vec_id", cos.alias("cos")))
+        w = Window.partitionBy("qid").orderBy(F.desc("cos"),
+                                              F.asc("vec_id"))
+        return (scored.withColumn("rank", F.row_number().over(w))
+                .where("rank <= 5")
+                .select("qid", "vec_id",
+                        F.col("rank").cast("bigint").alias("rank"),
+                        F.round("cos", 6).alias("cos_sim")))
+
+    _exact_same(old_knn(spark, SF), q_embedding_knn(spark, SF))
+
+
+def test_knn_fold_is_bit_exact_vs_interpreted_fold():
+    # the vectorized column loop must reproduce the SQL left fold's IEEE
+    # add sequence exactly, including adversarial magnitudes
+    rng = np.random.RandomState(7)
+    M = np.concatenate([rng.randn(40, 64),
+                        rng.randn(10, 64) * 1e12,
+                        rng.randn(10, 64) * 1e-12]).astype(np.float64)
+    Q = rng.randn(5, 64).astype(np.float64)
+    dots = np.zeros((M.shape[0], 5))
+    nsq = np.zeros(M.shape[0])
+    for j in range(64):
+        col = M[:, j]
+        dots += col[:, None] * Q[None, :, j]
+        nsq += col * col
+    for i in range(M.shape[0]):
+        accn = 0.0
+        for j in range(64):
+            accn += float(M[i, j]) * float(M[i, j])
+        assert accn == nsq[i]
+        for k in range(5):
+            acc = 0.0
+            for j in range(64):
+                acc += float(Q[k, j]) * float(M[i, j])
+            assert acc == dots[i, k], (i, k)
+
+
 def test_line_dedup_all_dup_doc_gets_empty_md5(spark, tmp_path):
     # a doc whose EVERY line repeats an earlier doc exercises the left-join
     # + coalesce(md5('')) path the restructure introduced
