@@ -47,17 +47,21 @@ _PAIR_EXPANSION_PAYLOAD = (
 
 
 def _join_on_keys(big: DataFrame, small: DataFrame, key_cols: list[str],
-                  how: str) -> DataFrame:
-    """Broadcast-join `small` onto `big` by key_cols with NULL-SAFE equality
+                  how: str, broadcast: bool = True) -> DataFrame:
+    """Join `small` onto `big` by key_cols with NULL-SAFE equality
     (a USING join never matches null keys; the unified key table carries
-    exactly-one-of (gk_band, gk_url), so every row has a null key column)."""
+    exactly-one-of (gk_band, gk_url), so every row has a null key column).
+    `broadcast=True` hints the small side (hot-key tables are tiny by
+    construction); `broadcast=False` leaves the strategy to the planner +
+    AQE for sides whose size is corpus-dependent."""
     sm = small.select(*[F.col(k).alias(f"__k_{k}") for k in key_cols],
                       *[c for c in small.columns if c not in key_cols])
     cond = None
     for k in key_cols:
         c = F.col(k).eqNullSafe(F.col(f"__k_{k}"))
         cond = c if cond is None else cond & c
-    return big.join(F.broadcast(sm), cond, how).drop(
+    right = F.broadcast(sm) if broadcast else sm
+    return big.join(right, cond, how).drop(
         *[f"__k_{k}" for k in key_cols])
 
 
@@ -90,25 +94,54 @@ def pairs_within_groups(members: DataFrame, key_cols: list[str],
     are unchanged: a url maps to exactly one payload, so sorting/distinct
     over (url, payload) structs equals sorting/distinct over urls.
 
-    Shuffle budget: two exchanges, deliberately asymmetric — the hot-key
-    pre-pass shuffles only (key, partial-count) pairs after map-side
-    combine (no member strings), and the main collect_set aggregation
-    shuffles the raw (key, member) rows once. Forcing both onto one
-    repartition exchange was measured WORSE: exchange reuse does not fire
-    across the agg/join branches, so the raw table would shuffle twice."""
+    Shuffle budget (r6 restructure — see OPTIMIZATION_r06.md): ONE slim
+    count aggregation over (key, partial-count) pairs after map-side
+    combine classifies every key as singleton (n == 1, the vast majority
+    — they can never emit a pair), cold-multi (1 < n <= cap) or hot
+    (n > cap). Only rows of COLD-MULTI keys reach the expensive
+    collect_set aggregation — previously every singleton key built a
+    one-element set through the ObjectHashAggregate, which profiling
+    showed was the dominant p2 cost (guide §2.3 "aggregate before you
+    shuffle" / don't compute things you throw away). The eligible-key
+    join is deliberately un-hinted: AQE broadcasts the eligible side at
+    bench scale and falls back to a shuffle join when the multi-key set
+    is corpus-sized; hot-key joins stay explicitly broadcast (tiny by
+    construction).
+
+    r6: the key/member table is also MATERIALIZED once (localCheckpoint,
+    lazy) before fan-out. The physical plan references it from four
+    subplans (count pre-pass, cold branch, hot branch, hot-center
+    aggregation), and without materialization each reference re-derives
+    the full key emission — for candidate_pairs that meant re-running
+    the signatures-scan + key-explode Generate up to six times per run
+    (measured: the r5 p2 plan held 6 MapInPandas subtrees).
+    localCheckpoint rather than persist() so the blocks are reclaimed by
+    the ContextCleaner when the plan is GC'd instead of pinning the SQL
+    CacheManager across pipeline runs; the lost-executor recompute trade
+    is the one cluster.py already takes."""
     cols = [*key_cols, F.col(member_col).alias("url")]
     if payload_col is not None:
         cols.append(F.col(payload_col).alias("_pl"))
     m = members.select(*cols)
-    hot_keys = (m.groupBy(*key_cols).agg(F.count(F.lit(1)).alias("n"))
-                .where(F.col("n") > cap).drop("n")
+    if not m.isStreaming:
+        m = m.localCheckpoint(eager=False)
+    counts = m.groupBy(*key_cols).agg(F.count(F.lit(1)).alias("n"))
+    if not members.isStreaming:
+        # materialized as well: the count table feeds THREE branches
+        # (eligible join, hot join, hot centers), and attribute
+        # deduplication across the self-referencing branches defeats
+        # exchange reuse, so without this the slim aggregation re-runs
+        # once per branch (observed in the r6 profiling plan)
+        counts = counts.localCheckpoint(eager=False)
+    hot_keys = (counts.where(F.col("n") > cap).drop("n")
                 .withColumn("_hot", F.lit(True)))
     if track_hot_keys:
         # tiny by construction (only above-cap keys): cache it so the
         # caller's capped-bucket observability count reuses the partials
         # materialized by the main pair job instead of re-scanning
         hot_keys = hot_keys.persist()
-    marked = _join_on_keys(m, hot_keys, key_cols, "left")
+    # keys that can emit cold all-pairs: more than one member row, not hot
+    eligible = counts.where((F.col("n") > 1) & (F.col("n") <= cap)).drop("n")
 
     member_expr = (F.struct("url", "_pl") if payload_col is not None
                    else F.col("url"))
@@ -116,7 +149,8 @@ def pairs_within_groups(members: DataFrame, key_cols: list[str],
                  else _PAIR_EXPANSION)
     pair_cols = (["p.a", "p.b", "p.pa", "p.pb"]
                  if payload_col is not None else ["p.a", "p.b"])
-    cold_groups = (marked.where(F.col("_hot").isNull())
+    cold_src = _join_on_keys(m, eligible, key_cols, "inner", broadcast=False)
+    cold_groups = (cold_src
                    .groupBy(*key_cols)
                    .agg(F.sort_array(F.collect_set(member_expr)).alias("us"))
                    .where(F.size("us") > 1))
@@ -125,25 +159,34 @@ def pairs_within_groups(members: DataFrame, key_cols: list[str],
                           F.explode(F.expr(expansion)).alias("p"))
                   .select(*key_cols, *pair_cols))
 
-    hot = marked.where(F.col("_hot").isNotNull()).drop("_hot")
-    if payload_col is not None:
-        # min over (url, payload) structs == min url (payload is a pure
-        # function of the url)
-        hot_centers = (hot.groupBy(*key_cols)
-                       .agg(F.min(F.struct("url", "_pl")).alias("_c"))
-                       .select(*key_cols, F.col("_c.url").alias("a"),
-                               F.col("_c._pl").alias("pa")))
-        hot_pairs = (_join_on_keys(hot, hot_centers, key_cols, "inner")
-                     .where(F.col("url") != F.col("a"))
-                     .select(*key_cols, "a", F.col("url").alias("b"),
-                             "pa", F.col("_pl").alias("pb")))
+    # Hot keys are the rare case (zero at typical bench scale); a bounded
+    # probe over the already-materialized counts skips the entire hot
+    # subplan (two more scans of m + a min aggregation) when there are
+    # none — the same data-dependent gate discipline cluster.py's driver
+    # threshold uses. Streaming inputs cannot probe and keep both
+    # branches.
+    has_hot = members.isStreaming or hot_keys.limit(1).count() > 0
+    if has_hot:
+        hot = _join_on_keys(m, hot_keys, key_cols, "inner").drop("_hot")
+        if payload_col is not None:
+            # min over (url, payload) structs == min url (payload is a
+            # pure function of the url)
+            hot_centers = (hot.groupBy(*key_cols)
+                           .agg(F.min(F.struct("url", "_pl")).alias("_c"))
+                           .select(*key_cols, F.col("_c.url").alias("a"),
+                                   F.col("_c._pl").alias("pa")))
+            hot_pairs = (_join_on_keys(hot, hot_centers, key_cols, "inner")
+                         .where(F.col("url") != F.col("a"))
+                         .select(*key_cols, "a", F.col("url").alias("b"),
+                                 "pa", F.col("_pl").alias("pb")))
+        else:
+            hot_centers = hot.groupBy(*key_cols).agg(F.min("url").alias("a"))
+            hot_pairs = (_join_on_keys(hot, hot_centers, key_cols, "inner")
+                         .where(F.col("url") != F.col("a"))
+                         .select(*key_cols, "a", F.col("url").alias("b")))
+        out = cold_pairs.unionByName(hot_pairs)
     else:
-        hot_centers = hot.groupBy(*key_cols).agg(F.min("url").alias("a"))
-        hot_pairs = (_join_on_keys(hot, hot_centers, key_cols, "inner")
-                     .where(F.col("url") != F.col("a"))
-                     .select(*key_cols, "a", F.col("url").alias("b")))
-
-    out = cold_pairs.unionByName(hot_pairs)
+        out = cold_pairs
     keep = ([*key_cols] if keep_keys else []) + ["a", "b"] + \
         (["pa", "pb"] if payload_col is not None else [])
     result = out.select(*keep)

@@ -112,6 +112,63 @@ def test_knn_fold_is_bit_exact_vs_interpreted_fold():
             assert acc == dots[i, k], (i, k)
 
 
+def test_pairs_within_groups_matches_r5_formulation(spark):
+    # r6 routes only multi-member non-hot keys into the collect_set
+    # aggregation and probe-skips the hot branch; the emitted pair set
+    # must equal the r5 all-keys formulation, hot keys included
+    from dedup.lsh import _PAIR_EXPANSION, pairs_within_groups
+
+    rows = []
+    for k in range(30):            # singleton keys
+        rows.append((f"k{k:03d}", f"u{k:03d}"))
+    for k in range(5):             # cold multi keys (2-4 members)
+        for i in range(2 + k % 3):
+            rows.append((f"m{k}", f"mu{k}_{i:02d}"))
+    for i in range(20):            # one hot key (cap below)
+        rows.append(("hot", f"h{i:02d}"))
+    members = spark.createDataFrame(rows, "k string, url string")
+
+    def r5_pairs(members, cap):
+        m = members.select("k", "url")
+        hot_keys = (m.groupBy("k").agg(F.count(F.lit(1)).alias("n"))
+                    .where(F.col("n") > cap).drop("n")
+                    .withColumn("_hot", F.lit(True)))
+        marked = m.join(F.broadcast(
+            hot_keys.withColumnRenamed("k", "__k")),
+            F.col("k").eqNullSafe(F.col("__k")), "left").drop("__k")
+        cold = (marked.where(F.col("_hot").isNull()).groupBy("k")
+                .agg(F.sort_array(F.collect_set("url")).alias("us"))
+                .where(F.size("us") > 1)
+                .select("k", F.explode(F.expr(_PAIR_EXPANSION)).alias("p"))
+                .select("k", "p.a", "p.b"))
+        hot = marked.where(F.col("_hot").isNotNull()).drop("_hot")
+        centers = hot.groupBy("k").agg(F.min("url").alias("a"))
+        hot_pairs = (hot.join(F.broadcast(
+            centers.withColumnRenamed("k", "__k")),
+            F.col("k").eqNullSafe(F.col("__k")), "inner").drop("__k")
+            .where(F.col("url") != F.col("a"))
+            .select("k", "a", F.col("url").alias("b")))
+        return cold.unionByName(hot_pairs).select("a", "b")
+
+    for cap in (8, 3):
+        want = sorted(tuple(r) for r in r5_pairs(members, cap).collect())
+        got = sorted(tuple(r) for r in
+                     pairs_within_groups(members, ["k"], cap).collect())
+        assert got == want, (cap, len(got), len(want))
+
+
+def test_pairs_within_groups_skips_hot_branch_when_none(spark):
+    # with no hot key the executed plan must hold a single aggregation
+    # chain (count pre-pass + cold collect_set), no hot-center min agg
+    from dedup.lsh import pairs_within_groups
+    members = spark.createDataFrame(
+        [("a", "u1"), ("a", "u2"), ("b", "u3")], "k string, url string")
+    df = pairs_within_groups(members, ["k"], cap=10)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Union" not in plan
+    assert [tuple(r) for r in df.collect()] == [("u1", "u2")]
+
+
 def test_line_dedup_all_dup_doc_gets_empty_md5(spark, tmp_path):
     # a doc whose EVERY line repeats an earlier doc exercises the left-join
     # + coalesce(md5('')) path the restructure introduced
