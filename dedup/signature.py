@@ -176,6 +176,46 @@ def minhash_signature(shingles: np.ndarray, A: np.ndarray, B: np.ndarray) -> np.
     return out
 
 
+def minhash_signatures_batched(arrs: list[np.ndarray], A: np.ndarray,
+                               B: np.ndarray,
+                               max_chunk_elems: int = 4_000_000,
+                               ) -> list[np.ndarray]:
+    """Batched minhash_signature over many documents: identical
+    (A*s + B) mod p uint64 arithmetic, with the per-document min taken by
+    ONE segmented np.minimum.reduceat per permutation — k numpy calls per
+    CHUNK of documents instead of k per document (the per-doc loop was
+    the dominant p1 cost at bench scale: ~100 tiny numpy ops per row).
+    Bit-identical to minhash_signature (tested). All input arrays must be
+    non-empty (empty docs yield no signature upstream). Chunked so the
+    working buffers stay bounded for wide engine-mode shingle sets."""
+    out: list[np.ndarray] = []
+    k = A.size
+    n = len(arrs)
+    i = 0
+    while i < n:
+        j, total = i, 0
+        while j < n and (j == i or total + arrs[j].size <= max_chunk_elems):
+            total += arrs[j].size
+            j += 1
+        chunk = arrs[i:j]
+        lens = np.fromiter((a.size for a in chunk), np.int64,
+                           count=len(chunk))
+        starts = np.zeros(len(chunk), dtype=np.int64)
+        np.cumsum(lens[:-1], out=starts[1:])
+        s = (np.concatenate(chunk) if len(chunk) > 1
+             else chunk[0]).astype(np.uint64, copy=False)
+        sig = np.empty((len(chunk), k), dtype=np.int64)
+        buf = np.empty(s.size, dtype=np.uint64)
+        for t in range(k):
+            np.multiply(s, A[t], out=buf)
+            buf += B[t]
+            buf %= _P
+            sig[:, t] = np.minimum.reduceat(buf, starts)
+        out.extend(sig)
+        i = j
+    return out
+
+
 def simhash64(shingle_hashes_arr: np.ndarray) -> int:
     """64-bit SimHash over the document's shingle hash set: each 32-bit
     shingle hash is expanded to 64 bits with the splitmix64 finalizer
@@ -200,6 +240,50 @@ def simhash64(shingle_hashes_arr: np.ndarray) -> int:
     for v in votes:
         out = (out << 1) | (1 if v > 0 else 0)
     return int(np.uint64(out).astype(np.int64))
+
+
+def simhash64_batched(arrs: list[np.ndarray],
+                      max_chunk_elems: int = 4_000_000) -> list[int]:
+    """Batched simhash64: same splitmix64 expansion and msb-first bit-vote
+    packing, with the per-document vote sums taken by 64 segmented
+    np.add.reduceat calls per CHUNK of documents instead of ~10 numpy
+    calls per document. Bit-identical to simhash64 (tested). All input
+    arrays must be non-empty."""
+    out: list[int] = []
+    n = len(arrs)
+    weights = np.uint64(1) << np.arange(63, -1, -1, dtype=np.uint64)
+    i = 0
+    while i < n:
+        j, total = i, 0
+        while j < n and (j == i or total + arrs[j].size <= max_chunk_elems):
+            total += arrs[j].size
+            j += 1
+        chunk = arrs[i:j]
+        lens = np.fromiter((a.size for a in chunk), np.int64,
+                           count=len(chunk))
+        starts = np.zeros(len(chunk), dtype=np.int64)
+        np.cumsum(lens[:-1], out=starts[1:])
+        x = (np.concatenate(chunk).astype(np.uint64, copy=False)
+             if len(chunk) > 1            # concatenate already copied
+             else chunk[0].astype(np.uint64, copy=True))
+        # splitmix64 finalizer (public-domain mixing constants), as in
+        # simhash64 but over the concatenated chunk
+        x += np.uint64(0x9E3779B97F4A7C15)
+        x ^= x >> np.uint64(30)
+        x *= np.uint64(0xBF58476D1CE4E5B9)
+        x ^= x >> np.uint64(27)
+        x *= np.uint64(0x94D049BB133111EB)
+        x ^= x >> np.uint64(31)
+        ones = np.empty((len(chunk), 64), dtype=np.int64)
+        for b in range(64):
+            bit = ((x >> np.uint64(b)) & np.uint64(1)).astype(np.int64)
+            ones[:, 63 - b] = np.add.reduceat(bit, starts)
+        votes = 2 * ones - lens[:, None]
+        vals = ((votes > 0).astype(np.uint64) * weights).sum(
+            axis=1, dtype=np.uint64)
+        out.extend(int(v) for v in vals.view(np.int64))
+        i = j
+    return out
 
 
 def compute_text_signature(text: str | None, A: np.ndarray, B: np.ndarray,
@@ -291,6 +375,12 @@ def signatures_table(corpus, cfg: DedupConfig, text_col: str = "text",
             urls, norms, norm_redirs = [], [], []
             sigs, simhashes, shingles_out, ntoks = [], [], [], []
             title_keys_out, desc_keys_out = [], []
+            # r6: shingle arrays are gathered per batch and MinHash/SimHash
+            # run once over the whole batch (segmented reductions in the
+            # batched helpers) — the former per-document calls paid ~100
+            # tiny numpy ops per row, which dominated this stage
+            pend_idx: list[int] = []
+            pend_arrs: list[np.ndarray] = []
             for url, text, redir, title, desc in zip(
                     pdf[key_col], texts, redirects, titles, descs):
                 if emit_text:
@@ -307,20 +397,24 @@ def signatures_table(corpus, cfg: DedupConfig, text_col: str = "text",
                     parts = [v for v in (title, desc) if is_valid_field(v)]
                     words = tokenize(" ".join(parts))
                 ntoks.append(len(words))
-                if not words:
-                    sigs.append(None)
-                    simhashes.append(None)
-                    shingles_out.append(None)
-                    continue
-                arr = _shingle_array(words, cfg)
-                sigs.append(minhash_signature(arr, A, B))
-                simhashes.append(simhash64(arr))
+                sigs.append(None)
+                simhashes.append(None)
+                shingles_out.append(None)
+                if words:
+                    pend_idx.append(len(sigs) - 1)
+                    pend_arrs.append(_shingle_array(words, cfg))
+            if pend_arrs:
+                for pos, sg in zip(pend_idx,
+                                   minhash_signatures_batched(
+                                       pend_arrs, A, B)):
+                    sigs[pos] = sg
+                for pos, sh in zip(pend_idx, simhash64_batched(pend_arrs)):
+                    simhashes[pos] = sh
                 if keep_shingles:
-                    # sorted unsigned, stored as the int32 bit pattern
-                    shingles_out.append(
-                        np.sort(arr).astype(np.uint32).view(np.int32))
-                else:
-                    shingles_out.append(None)
+                    for pos, arr in zip(pend_idx, pend_arrs):
+                        # sorted unsigned, stored as the int32 bit pattern
+                        shingles_out[pos] = (
+                            np.sort(arr).astype(np.uint32).view(np.int32))
             out = {
                 "url": urls,
                 "norm_url": norms,

@@ -112,6 +112,29 @@ def test_knn_fold_is_bit_exact_vs_interpreted_fold():
             assert acc == dots[i, k], (i, k)
 
 
+def test_batched_minhash_simhash_bit_exact():
+    # p1 batches the per-document MinHash/SimHash numpy loops into
+    # segmented reductions; every signature must equal the per-doc
+    # reference functions bit-for-bit, including across chunk boundaries
+    from dedup.coeffs import load_coeffs
+    from dedup.signature import (minhash_signature,
+                                 minhash_signatures_batched, simhash64,
+                                 simhash64_batched)
+    rng = np.random.RandomState(11)
+    A, B = load_coeffs(100, 42)
+    arrs = [np.unique(rng.randint(0, 2**32, size=rng.randint(1, 300))
+                      .astype(np.uint64)) for _ in range(200)]
+    arrs += [np.array([0], dtype=np.uint64),
+             np.array([2**32 - 1], dtype=np.uint64)]
+    for chunk in (4_000_000, 513):  # huge chunk and forced multi-chunk
+        sigs = minhash_signatures_batched(arrs, A, B,
+                                          max_chunk_elems=chunk)
+        hashes = simhash64_batched(arrs, max_chunk_elems=chunk)
+        for i, a in enumerate(arrs):
+            assert np.array_equal(sigs[i], minhash_signature(a, A, B)), i
+            assert hashes[i] == simhash64(a), i
+
+
 def test_pairs_within_groups_matches_r5_formulation(spark):
     # r6 routes only multi-member non-hot keys into the collect_set
     # aggregation and probe-skips the hot branch; the emitted pair set
