@@ -157,20 +157,42 @@ def verify_pairs(pairs: DataFrame, signatures: DataFrame,
     threshold, j_threshold = cfg.threshold, cfg.jaccard_threshold
 
     if cfg.scoring != "jaccard":
-        def score_cosine(batches):
-            for pdf in batches:
-                if len(pdf) == 0:
-                    continue
-                sims = batch_cosines(pdf["_sig_a"], pdf["_sig_b"])
-                yield pd.DataFrame({
-                    "a": pdf["a"], "b": pdf["b"],
-                    "match_source": pdf["match_source"],
-                    "similarity": sims,
-                    "jaccard": np.full(len(pdf), np.nan),
-                    "keep": sims >= threshold,
-                })
+        # r6: a pandas-UDF COLUMN instead of the former mapInPandas
+        # barrier, so only the two signature arrays cross the Python
+        # boundary — the pair/match_source strings used to ride the
+        # Arrow round-trip both ways for no reason (guide §4.1: pass
+        # only the columns the function needs). asNondeterministic is
+        # the guide §4.4 fix that (a) stops CollapseProject inlining the
+        # UDF once per referencing expression (keep + similarity) and
+        # (b) stops filter pushdown re-evaluating it below `where(keep)`
+        # — the two hazards the old barrier existed to avoid. Scores are
+        # the same batch_cosines doubles, the keep comparison moves to
+        # SQL unchanged (IEEE >=), and nan/nullability are pinned to the
+        # old mapInPandas schema.
+        @F.pandas_udf("double")
+        def cosine_udf(sig_a: pd.Series, sig_b: pd.Series) -> pd.Series:
+            if len(sig_a) == 0:
+                return pd.Series(np.empty(0, dtype=np.float64))
+            return pd.Series(batch_cosines(sig_a, sig_b))
 
-        scored = joined.mapInPandas(score_cosine, schema=_VERIFIED_SCHEMA)
+        scored = (joined
+                  .withColumn("similarity",
+                              cosine_udf.asNondeterministic()(
+                                  "_sig_a", "_sig_b"))
+                  .select(
+                      # nullif(null) never fires; the wrappers only pin
+                      # the all-nullable schema the old mapInPandas
+                      # barrier declared
+                      F.nullif("a", F.lit(None).cast("string")).alias("a"),
+                      F.nullif("b", F.lit(None).cast("string")).alias("b"),
+                      F.nullif("match_source", F.lit(None).cast("string"))
+                      .alias("match_source"),
+                      F.col("similarity"),
+                      # the old barrier emitted np.nan through pandas,
+                      # which Arrow records as NULL — keep NULL exactly
+                      F.lit(None).cast("double").alias("jaccard"),
+                      (F.col("similarity") >= F.lit(threshold))
+                      .alias("keep")))
         return url_exact.unionByName(scored)
 
     # --- engine (jaccard) mode -------------------------------------------
