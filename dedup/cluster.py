@@ -147,8 +147,15 @@ def connected_components(edges: DataFrame, max_iterations: int = 30,
                 if ra != rb:
                     parent[max(ra, rb)] = min(ra, rb)
             assign = [(v, find(v)) for v in parent]
-            return spark.createDataFrame(assign,
-                                         "url string, cluster_id string")
+            # broadcast hint: the assignment is bounded by
+            # driver_threshold BY CONSTRUCTION (it came off the driver),
+            # but it surfaces as a Python-RDD scan with unknown stats,
+            # which otherwise forces a sort-merge anti-join that shuffles
+            # and sorts the whole corpus key column in assign_clusters
+            # (observed in the r6 p4 plan; guide §3.1: broadcast the side
+            # you KNOW is small)
+            return F.broadcast(spark.createDataFrame(
+                assign, "url string, cluster_id string"))
     if e.isEmpty():
         return spark.createDataFrame([], "url string, cluster_id string")
 

@@ -652,12 +652,17 @@ def q_ngram_jaccard_pairs(spark, sf_dir):
     """Word-3-gram Jaccard (T2 semantics + engine exact-Jaccard verify) for
     doc pairs among doc_id < 40, as integer intersection/union sizes."""
     d = _docs(spark, sf_dir).where("doc_id < 40")
-    grams = d.select(
-        "doc_id",
-        F.expr(
-            f"array_distinct(transform(sequence(1, greatest(size({_TOKENS}) - 2, 1)),"
-            f" i -> concat_ws(' ', slice({_TOKENS}, i, 3))))"
-        ).alias("grams"))
+    # r6: tokenize once per row — the former single expression re-split
+    # the text inside the per-window lambda (once per gram index, since
+    # common-subexpression elimination does not reach into lambda bodies)
+    grams = (d.select("doc_id", F.expr(_TOKENS).alias("tk"))
+             .select(
+                 "doc_id",
+                 F.expr(
+                     "array_distinct(transform(sequence(1, "
+                     "greatest(size(tk) - 2, 1)),"
+                     " i -> concat_ws(' ', slice(tk, i, 3))))")
+                 .alias("grams")))
     a = grams.select(F.col("doc_id").alias("a"), F.col("grams").alias("ga"))
     b = grams.select(F.col("doc_id").alias("b"), F.col("grams").alias("gb"))
     pairs = (a.join(b, F.col("a") < F.col("b"))

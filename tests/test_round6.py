@@ -258,6 +258,24 @@ def test_verify_cosine_matches_r5_barrier_and_evaluates_udf_once(spark):
     pairs.unpersist()
 
 
+def test_driver_path_assignment_broadcasts_into_anti_join(spark):
+    # the driver union-find assignment is bounded by driver_threshold by
+    # construction; the singleton anti-join must plan as broadcast, not
+    # a corpus-wide sort-merge
+    from dedup.cluster import assign_clusters
+    corpus = spark.createDataFrame(
+        [(f"u{i}",) for i in range(50)], "url string")
+    edges = spark.createDataFrame(
+        [("u1", "u2"), ("u2", "u3"), ("u10", "u11")], "a string, b string")
+    df = assign_clusters(corpus, edges)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" not in plan
+    rows = {r["url"]: r["cluster_id"] for r in df.collect()}
+    assert rows["u3"] == "u1" and rows["u11"] == "u10"
+    assert rows["u42"] == "u42"
+    assert len(rows) == 50
+
+
 def test_line_dedup_all_dup_doc_gets_empty_md5(spark, tmp_path):
     # a doc whose EVERY line repeats an earlier doc exercises the left-join
     # + coalesce(md5('')) path the restructure introduced
