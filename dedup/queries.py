@@ -331,12 +331,17 @@ def q_domain_stats(spark, sf_dir):
     document IDENTICALLY on both sides — the within-domain dup counter is
     exercised, not vacuously zero.
 
-    Scale shape: two groupBy aggregations, both map-side combined — a
-    boilerplate-hot domain partially aggregates per partition instead of
-    funneling into one reducer (the same reasoning as line_dedup's
-    hash-groupBy). Exact-dup detection groups by (domain, md5(text)) — the
-    16-byte digest rides the shuffle, never the text. The final join
-    touches two domain-cardinality aggregates; AQE broadcasts it."""
+    Scale shape (r6 single-pass restructure, identical output — see
+    OPTIMIZATION_r06.md): ONE scan feeds one (domain, md5) aggregation
+    whose group rows already carry the per-group doc count and
+    char/token/short partial sums, and a second map-side-combined
+    roll-up to domain cardinality computes every output column —
+    including the within-domain exact-dup count — so the former second
+    scan, third exchange, and domain-level join are gone. Both
+    aggregations combine map-side, so a boilerplate-hot domain partially
+    aggregates per partition instead of funneling into one reducer (the
+    same reasoning as line_dedup's hash-groupBy), and only the 16-byte
+    digest ever rides a shuffle, never the text."""
     d = (_docs(spark, sf_dir)
          .select("doc_id", "source",
                  F.when(F.col("doc_id") % 3 == 0,
@@ -349,18 +354,21 @@ def q_domain_stats(spark, sf_dir):
              F.length("text").cast("bigint").alias("n_chars"),
              F.expr(f"size({_TOKENS})").cast("bigint").alias("n_tokens"),
              F.md5("text").alias("text_md5")))
-    per = d.groupBy("domain").agg(
-        F.count(F.lit(1)).alias("n_docs"),
-        F.sum("n_chars").alias("sum_chars"),
-        F.sum("n_tokens").alias("sum_tokens"),
+    g = d.groupBy("domain", "text_md5").agg(
+        F.count(F.lit(1)).alias("c"),
+        F.sum("n_chars").alias("g_chars"),
+        F.sum("n_tokens").alias("g_tokens"),
         F.sum(F.when(F.col("n_tokens") < 20, 1).otherwise(0))
-        .cast("bigint").alias("n_short"))
-    dup = (d.groupBy("domain", "text_md5")
-           .agg(F.count(F.lit(1)).alias("c"))
-           .groupBy("domain")
-           .agg(F.sum(F.when(F.col("c") > 1, F.col("c")).otherwise(0))
-                .cast("bigint").alias("n_exact_dup_docs")))
-    return per.join(dup, "domain").orderBy("domain")
+        .alias("g_short"))
+    return (g.groupBy("domain").agg(
+        # coalesce pins the non-nullable type the former count(1) had
+        F.coalesce(F.sum("c"), F.lit(0).cast("bigint")).alias("n_docs"),
+        F.sum("g_chars").alias("sum_chars"),
+        F.sum("g_tokens").alias("sum_tokens"),
+        F.sum("g_short").cast("bigint").alias("n_short"),
+        F.sum(F.when(F.col("c") > 1, F.col("c")).otherwise(0))
+        .cast("bigint").alias("n_exact_dup_docs"))
+        .orderBy("domain"))
 
 
 def _domain_stats_oracle_sql() -> str:

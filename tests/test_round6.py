@@ -276,6 +276,44 @@ def test_driver_path_assignment_broadcasts_into_anti_join(spark):
     assert len(rows) == 50
 
 
+def test_domain_stats_matches_r5_formulation(spark):
+    # r6 rolls every output column up from one (domain, md5) aggregation;
+    # must equal the old two-aggregation + join formulation exactly
+    from dedup.queries import _TOKENS, _docs, q_domain_stats
+
+    def old_domain_stats(spark, sf_dir):
+        d = (_docs(spark, sf_dir)
+             .select("doc_id", "source",
+                     F.when(F.col("doc_id") % 3 == 0,
+                            F.concat(F.lit("shared boilerplate page for "),
+                                     F.col("source")))
+                     .otherwise(F.col("text")).alias("text"))
+             .select(
+                 F.concat(F.lit("www."), "source", F.lit(".example.com"))
+                 .alias("domain"),
+                 F.length("text").cast("bigint").alias("n_chars"),
+                 F.expr(f"size({_TOKENS})").cast("bigint")
+                 .alias("n_tokens"),
+                 F.md5("text").alias("text_md5")))
+        per = d.groupBy("domain").agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("sum_chars"),
+            F.sum("n_tokens").alias("sum_tokens"),
+            F.sum(F.when(F.col("n_tokens") < 20, 1).otherwise(0))
+            .cast("bigint").alias("n_short"))
+        dup = (d.groupBy("domain", "text_md5")
+               .agg(F.count(F.lit(1)).alias("c"))
+               .groupBy("domain")
+               .agg(F.sum(F.when(F.col("c") > 1, F.col("c")).otherwise(0))
+                    .cast("bigint").alias("n_exact_dup_docs")))
+        return per.join(dup, "domain").orderBy("domain")
+
+    _exact_same(old_domain_stats(spark, SF), q_domain_stats(spark, SF))
+    plan = (q_domain_stats(spark, SF)._jdf.queryExecution().executedPlan()
+            .toString())
+    assert "Join" not in plan  # single aggregation chain, no re-join
+
+
 def test_line_dedup_all_dup_doc_gets_empty_md5(spark, tmp_path):
     # a doc whose EVERY line repeats an earlier doc exercises the left-join
     # + coalesce(md5('')) path the restructure introduced
