@@ -38,19 +38,42 @@ def cosine_similarity(sig1: np.ndarray, sig2: np.ndarray) -> float:
     return float(np.dot(s1, s2) / (np.linalg.norm(s1) * np.linalg.norm(s2)))
 
 
-def batch_cosines(sig_a_series, sig_b_series) -> np.ndarray:
-    """Batched reference cosine: signatures are fixed length k, so the Arrow
-    batch is one rectangular matrix and batched BLAS matmul scores every
-    pair at once, BIT-IDENTICAL to the reference's per-pair np.dot /
-    np.linalg.norm (same BLAS kernels; verified by tests/test_signature.py
-    cosine parity) — unlike einsum/sum(axis=1), whose pairwise summation
-    differs from ddot in the last ulp."""
-    A = np.stack(sig_a_series.to_numpy()).astype(np.float64, copy=False)
-    B = np.stack(sig_b_series.to_numpy()).astype(np.float64, copy=False)
+def _cosines_from_matrices(A: np.ndarray, B: np.ndarray) -> np.ndarray:
+    """Batched reference cosine over two (n, k) float64 matrices: batched
+    BLAS matmul scores every pair at once, BIT-IDENTICAL to the
+    reference's per-pair np.dot / np.linalg.norm (same BLAS kernels;
+    verified by tests/test_signature.py cosine parity) — unlike
+    einsum/sum(axis=1), whose pairwise summation differs from ddot in the
+    last ulp."""
     dots = np.matmul(A[:, None, :], B[:, :, None]).ravel()
     na = np.sqrt(np.matmul(A[:, None, :], A[:, :, None]).ravel())
     nb = np.sqrt(np.matmul(B[:, None, :], B[:, :, None]).ravel())
     return dots / (na * nb)
+
+
+def batch_cosines(sig_a_series, sig_b_series) -> np.ndarray:
+    """_cosines_from_matrices over two pandas Series of equal-length
+    signature arrays (stacked into rectangular matrices)."""
+    A = np.stack(sig_a_series.to_numpy()).astype(np.float64, copy=False)
+    B = np.stack(sig_b_series.to_numpy()).astype(np.float64, copy=False)
+    return _cosines_from_matrices(A, B)
+
+
+def _list_array_matrix(arr) -> np.ndarray:
+    """pyarrow ListArray of equal-length numeric lists -> (n, k) float64
+    matrix. flatten() hands back the contiguous values buffer (offset-
+    adjusted), so this is one zero-copy view + one vectorized cast
+    instead of the per-row copies np.stack pays on a pandas object
+    Series."""
+    import pyarrow as pa
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    n = len(arr)
+    if n == 0:
+        return np.zeros((0, 1), dtype=np.float64)
+    flat = arr.flatten()
+    return (np.asarray(flat, dtype=np.int64)
+            .reshape(n, len(flat) // n).astype(np.float64))
 
 
 def batch_jaccards(sh_a_series, sh_b_series) -> np.ndarray:
@@ -157,23 +180,36 @@ def verify_pairs(pairs: DataFrame, signatures: DataFrame,
     threshold, j_threshold = cfg.threshold, cfg.jaccard_threshold
 
     if cfg.scoring != "jaccard":
-        # r6: a pandas-UDF COLUMN instead of the former mapInPandas
+        # r6: an Arrow-UDF COLUMN instead of the former mapInPandas
         # barrier, so only the two signature arrays cross the Python
         # boundary — the pair/match_source strings used to ride the
         # Arrow round-trip both ways for no reason (guide §4.1: pass
-        # only the columns the function needs). asNondeterministic is
+        # only the columns the function needs) — and the ListArray
+        # values buffer is reshaped zero-copy instead of np.stack'ing
+        # one small array per row (guide §4.2). asNondeterministic is
         # the guide §4.4 fix that (a) stops CollapseProject inlining the
         # UDF once per referencing expression (keep + similarity) and
         # (b) stops filter pushdown re-evaluating it below `where(keep)`
         # — the two hazards the old barrier existed to avoid. Scores are
-        # the same batch_cosines doubles, the keep comparison moves to
-        # SQL unchanged (IEEE >=), and nan/nullability are pinned to the
-        # old mapInPandas schema.
-        @F.pandas_udf("double")
-        def cosine_udf(sig_a: pd.Series, sig_b: pd.Series) -> pd.Series:
-            if len(sig_a) == 0:
-                return pd.Series(np.empty(0, dtype=np.float64))
-            return pd.Series(batch_cosines(sig_a, sig_b))
+        # the same BLAS doubles, the keep comparison moves to SQL
+        # unchanged (IEEE >=), and from_pandas=True keeps the NaN→NULL
+        # conversion the old pandas path performed.
+        import pyarrow as pa
+
+        def _cosine_arrow(sig_a, sig_b):
+            A = _list_array_matrix(sig_a)
+            B = _list_array_matrix(sig_b)
+            if A.shape[0] == 0:
+                return pa.array(np.empty(0), type=pa.float64())
+            return pa.array(_cosines_from_matrices(A, B),
+                            type=pa.float64(), from_pandas=True)
+
+        # real type objects, not strings: this module's `from __future__
+        # import annotations` would stringify inline hints, which
+        # arrow_udf's signature inference rejects
+        _cosine_arrow.__annotations__ = {
+            "sig_a": pa.Array, "sig_b": pa.Array, "return": pa.Array}
+        cosine_udf = F.arrow_udf(_cosine_arrow, "double")
 
         scored = (joined
                   .withColumn("similarity",
