@@ -1757,6 +1757,13 @@ QUERIES = {
     "candidate_stats": q_candidate_stats,
     "config_clamp": q_config_clamp,
     "clusters_incremental": q_clusters_incremental,
+    # r6-changed code paths whose r5 row would otherwise fall off the
+    # 50-row budget: both exercise the restructured pairs_within_groups
+    # (planted hot buckets / IVF cells), so they must be re-signed this
+    # round; two untouched-code r5-green queries (cache_key,
+    # url_variants) moved to the tail in exchange
+    "lsh_planted_recall": q_lsh_planted_recall,
+    "embedding_knn_ivf": q_embedding_knn_ivf,
     "sample_split": q_sample_split,
     "cluster_representatives": q_cluster_representatives,
     "domain_stats": q_domain_stats,
@@ -1788,17 +1795,14 @@ QUERIES = {
     "metadata_block_pairs": q_metadata_block_pairs,
     "dup_clusters": q_dup_clusters,
     "simhash_hamming": q_simhash_hamming,
-    "cache_key": q_cache_key,
     "kernel_detect": q_kernel_detect,
     "doc_fingerprints": q_doc_fingerprints,
-    "url_variants": q_url_variants,
     "substring_pairs": q_substring_pairs,
     "media_features": q_media_features,
     "media_dup_pairs": q_media_dup_pairs,
     "embedding_knn": q_embedding_knn,
     "embedding_knn_lsh": q_embedding_knn_lsh,
     "extract_roundtrip": q_extract_roundtrip,
-    "lsh_planted_recall": q_lsh_planted_recall,
     "metadata_enrich": q_metadata_enrich,
     "dedupe_one_url": q_dedupe_one_url,
     "dedupe_by_metadata": q_dedupe_by_metadata,
@@ -1806,7 +1810,8 @@ QUERIES = {
     "events_sessions": q_events_sessions,
     "region_revenue": q_region_revenue,
     "pricing_summary": q_pricing_summary,
-    "embedding_knn_ivf": q_embedding_knn_ivf,
+    "cache_key": q_cache_key,
+    "url_variants": q_url_variants,
 }
 
 # --- fixture oracles --------------------------------------------------------------
